@@ -1,0 +1,107 @@
+"""HiFi read simulator (pbsim-style) with truth embedded in read names.
+
+Mirrors the reference evaluation setup (example/simulate_pbsim.sh: accuracy-mean 0.99,
+length-mean 24kb, depth 10) and the `paftools pbsim2fq` naming convention used by its
+acceptance test (example/nearperfect-ecoli.100.fa: `S1_{i}!{chr}!{start}!{end}!{strand}`),
+so our mapeval-style scorer (eval/mapeval.py) can grade any PAF produced from these reads.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+_COMP_IDX = np.array([3, 2, 1, 0], dtype=np.uint8)
+
+
+def random_genome(length: int, seed: int = 0, n_contigs: int = 1) -> List[Tuple[str, bytes]]:
+    """Uniform-random genome. Crude but adequate for throughput + accuracy harnesses."""
+    rng = np.random.default_rng(seed)
+    out = []
+    per = length // n_contigs
+    for c in range(n_contigs):
+        codes = rng.integers(0, 4, size=per, dtype=np.uint8)
+        out.append((f"chr{c+1}", _BASES[codes].tobytes()))
+    return out
+
+
+def markov_genome(length: int, seed: int = 0, n_contigs: int = 1, order_bias: float = 0.35
+                  ) -> List[Tuple[str, bytes]]:
+    """Genome with homopolymer-run bias (P[same as prev] = order_bias), closer to real
+    DNA run-length statistics than uniform — exercises the HPC path properly."""
+    rng = np.random.default_rng(seed)
+    out = []
+    per = length // n_contigs
+    for c in range(n_contigs):
+        # vectorized Markov chain: choose "repeat previous" vs "uniform new"
+        repeat = rng.random(per) < order_bias
+        fresh = rng.integers(0, 4, size=per, dtype=np.uint8)
+        codes = np.empty(per, dtype=np.uint8)
+        codes[0] = fresh[0]
+        # sequential dependency only along repeat-runs; resolve by propagating fresh
+        # values forward across repeat positions.
+        idx = np.arange(per)
+        src = np.where(repeat, 0, idx)
+        src[0] = 0
+        np.maximum.accumulate(src, out=src)
+        codes = fresh[src]
+        out.append((f"chr{c+1}", _BASES[codes].tobytes()))
+    return out
+
+
+def simulate_reads(
+    contigs: List[Tuple[str, bytes]],
+    n_reads: int,
+    mean_len: int = 24000,
+    accuracy: float = 0.99,
+    seed: int = 1,
+    name_prefix: str = "S1",
+) -> List[Tuple[str, bytes]]:
+    """Sample reads uniformly; inject substitutions/insertions/deletions to the target
+    accuracy (60% sub / 20% ins / 20% del, pbsim-ish); RC half of them. Read names carry
+    truth: `{prefix}_{i}!{chr}!{start}!{end}!{strand}` (1-based inclusive start like
+    pbsim2fq output in the reference example)."""
+    rng = np.random.default_rng(seed)
+    seqs = [np.frombuffer(s, dtype=np.uint8) for _, s in contigs]
+    lut = np.full(256, 0, dtype=np.uint8)
+    for i, b in enumerate(b"ACGT"):
+        lut[b] = i
+    codes_list = [lut[s] for s in seqs]
+    lens = np.array([len(s) for s in seqs], dtype=np.float64)
+    probs = lens / lens.sum()
+    reads = []
+    err = 1.0 - accuracy
+    for i in range(n_reads):
+        ci = rng.choice(len(contigs), p=probs)
+        codes = codes_list[ci]
+        L = max(200, int(rng.normal(mean_len, mean_len * 0.12)))
+        L = min(L, len(codes) - 1)
+        start = int(rng.integers(0, len(codes) - L))
+        frag = codes[start : start + L].copy()
+        # errors
+        n_err = rng.poisson(err * L)
+        if n_err > 0:
+            pos = np.sort(rng.integers(0, L, size=n_err))
+            kinds = rng.choice(3, p=[0.6, 0.2, 0.2], size=n_err)  # sub/ins/del
+            out = []
+            prev = 0
+            for pp, kind in zip(pos, kinds):
+                out.append(frag[prev:pp])
+                if kind == 0:
+                    out.append(np.array([(frag[pp] + rng.integers(1, 4)) % 4], dtype=np.uint8))
+                    prev = pp + 1
+                elif kind == 1:
+                    out.append(np.array([rng.integers(0, 4)], dtype=np.uint8))
+                    prev = pp
+                else:
+                    prev = pp + 1
+            out.append(frag[prev:])
+            frag = np.concatenate(out).astype(np.uint8)
+        strand = "+" if rng.random() < 0.5 else "-"
+        if strand == "-":
+            frag = _COMP_IDX[frag[::-1]]
+        name = f"{name_prefix}_{i+1}!{contigs[ci][0]}!{start+1}!{start+L}!{strand}"
+        reads.append((name, _BASES[frag].tobytes()))
+    return reads

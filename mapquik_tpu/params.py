@@ -1,0 +1,69 @@
+"""Mapping parameters.
+
+Mirrors the reference CLI contract (reference: src/main.rs:33-47,174-217): same knobs,
+same defaults (k=5, l=31, density=0.01, c=4, s=11, g=2000, HPC on).
+
+TPU-specific additions (batch shapes, caps, window sizes) live here too because every
+jitted program is specialized on them; they are *capacity* knobs, not semantic ones —
+provided the caps are large enough to never clip, output is independent of them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class Params:
+    # --- semantic parameters (reference parity; src/main.rs:174-188) ---
+    k: int = 5            # k-min-mer length (number of consecutive minimizers)
+    l: int = 31           # minimizer (l-mer) length
+    density: float = 0.01  # density threshold: l-mer is a minimizer iff hash < density * 2^32
+    c: int = 4            # minimum chain length (num Matches) for MAPQ 60
+    s: int = 11           # minimum chain score (num matching k-min-mers) for MAPQ 60
+    g: int = 2000         # max |gap difference| for chain colinearity
+    use_hpc: bool = True  # homopolymer-compress before hashing
+    # `use_simd` in the reference selects an equivalent fast path; on TPU the Pallas
+    # kernel path plays that role and is controlled by `backend` below.
+    fix_check_bug: bool = False  # replicate reference Match::check precedence quirk
+                                 # (src/match.rs:39-43) by default; True = "fixed" semantics
+
+    # --- capacity / batching knobs (TPU-only; no semantic effect unless clipped) ---
+    max_read_len: int = 1 << 15      # default padded read length bin ceiling
+    max_minimizers: int = 1 << 9     # per-sequence minimizer cap (d*L ~ 330 for 32kb)
+    batch_size: int = 256            # reads per device batch
+    ref_window: int = 1 << 20        # reference extraction window (bases, core)
+    ref_halo: int = 1 << 15          # right halo so window-spanning k-min-mers are seen
+    ref_window_minimizers: int = 1 << 14  # minimizer cap per reference window
+
+    def __post_init__(self):
+        if self.k < 2:
+            raise ValueError("k must be >= 2")
+        if self.l < 4 or self.l > 32:
+            raise ValueError("l must be in [4, 32] (rolling 32-bit ntHash)")
+        if not (0.0 < self.density <= 1.0):
+            raise ValueError("density must be in (0, 1]")
+        if self.max_minimizers < self.k:
+            raise ValueError("max_minimizers must be >= k")
+
+    @property
+    def min_seq_len(self) -> int:
+        """Minimum base-space sequence length to yield any k-min-mer.
+
+        Reference guard (src/mers.rs:18,44): sequences shorter than l + k - 1 produce
+        nothing.
+        """
+        return self.l + self.k - 1
+
+    @property
+    def hash_threshold(self) -> int:
+        """uint32 threshold for the density predicate."""
+        t = int(self.density * 4294967296.0)
+        return min(t, 0xFFFFFFFF)
+
+
+def default_output_prefix(p: Params) -> str:
+    """Reference default output prefix format (src/main.rs:216)."""
+    d = f"{p.density:g}"
+    return f"mapquik-k{p.k}-d{d}-l{p.l}"
