@@ -1,0 +1,230 @@
+"""Batched on-device seeding: codes -> k-min-mers, fixed shapes, XLA/TPU-friendly.
+
+Replaces the reference's hot loop A (external crate rust-seq2kminmers — AVX-512 minimizer
+scan + ntHash + HPC + k-min-mer assembly; SURVEY.md §2.2) with an array formulation:
+
+  1. HPC run compaction via cumsum + one flat scatter (no data-dependent shapes).
+  2. Rolling canonical 32-bit ntHash of every l-mer via the prefix-XOR identity:
+     the window XOR of per-base rotated seeds equals a rotate of a prefix-XOR
+     difference — one associative XOR scan over the batch, no sequential rolling.
+  3. Density predicate (hash < density * 2^32) -> minimizer set; compacted to a fixed
+     per-read cap via top_k on positions.
+  4. k-window lexicographic canonicalization + FNV/murmur mixing -> strand-canonical
+     (h1, h2) uint32-pair k-min-mer keys with base-space [start, end) spans.
+
+Bit-exact vs the oracle (mapquik_tpu.oracle.pyref) by construction — shared constants,
+shared formulas. Everything here is shape-static and jit/vmap/shard_map compatible.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..oracle.pyref import SEED32, SEED32C, INVALID
+from ..params import Params
+
+_FNV_OFFSET = np.uint32(0x811C9DC5)
+_FNV_PRIME = np.uint32(0x01000193)
+_MIX2_OFFSET = np.uint32(0x9747B28C)
+_MIX2_PRIME = np.uint32(0x85EBCA6B)
+
+_BIG_I32 = np.int32(0x7FFFFFFF)
+
+
+class SeedBatch(NamedTuple):
+    """Fixed-shape per-read k-min-mer arrays. Slot j holds the k-min-mer with offset j;
+    slots >= n are padding (fields zeroed/cleared)."""
+
+    h1: jax.Array     # uint32 [B, M]
+    h2: jax.Array     # uint32 [B, M]
+    start: jax.Array  # int32  [B, M] base-space start
+    end: jax.Array    # int32  [B, M] base-space end (exclusive)
+    rev: jax.Array    # bool   [B, M]
+    n: jax.Array      # int32  [B] number of valid k-min-mers
+
+
+def _rol32(x: jax.Array, r: jax.Array) -> jax.Array:
+    x = x.astype(jnp.uint32)
+    r = (r % 32).astype(jnp.uint32)
+    return (x << r) | (x >> ((np.uint32(32) - r) % np.uint32(32)))
+
+
+def _fmix32(h: jax.Array) -> jax.Array:
+    h = h.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def hpc_compact(codes: jax.Array, lengths: jax.Array):
+    """Batched homopolymer compression.
+
+    codes: uint8 [B, L] (padding may be anything; it is forced to INVALID).
+    Returns (hcodes u8 [B, L], run_start i32 [B, L], run_end i32 [B, L], hpc_len i32 [B]).
+    Positions >= hpc_len hold INVALID / sentinel values.
+    """
+    B, L = codes.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    inb = pos < lengths[:, None]
+    codes = jnp.where(inb, codes, np.uint8(INVALID))
+    prev = jnp.concatenate([jnp.full((B, 1), 255, dtype=codes.dtype), codes[:, :-1]], axis=1)
+    keep = (codes != prev) & inb
+    tgt = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    hpc_len = tgt[:, -1] + 1
+    row = jnp.arange(B, dtype=jnp.int32)[:, None] * L
+    flat_tgt = jnp.where(keep, row + tgt, np.int32(B * L))  # out-of-range -> dropped
+    hcodes = (
+        jnp.full((B * L,), INVALID, dtype=codes.dtype)
+        .at[flat_tgt.reshape(-1)]
+        .set(codes.reshape(-1), mode="drop")
+        .reshape(B, L)
+    )
+    # run_start: original index of first base of each run; padding slots = length
+    # (so the shifted read below yields run_end = length for the final run).
+    init = jnp.broadcast_to(lengths[:, None].astype(jnp.int32), (B, L)).reshape(-1)
+    run_start = (
+        init.at[flat_tgt.reshape(-1)]
+        .min(jnp.broadcast_to(pos, (B, L)).reshape(-1), mode="drop")
+        .reshape(B, L)
+    )
+    run_end = jnp.concatenate(
+        [run_start[:, 1:], lengths[:, None].astype(jnp.int32)], axis=1
+    )
+    return hcodes, run_start, run_end, hpc_len
+
+
+def nthash32_batch(codes: jax.Array, l: int):
+    """Canonical 32-bit ntHash of every l-mer, batched.
+
+    codes: uint8 [B, L] (INVALID marks non-ACGT / padding).
+    Returns (canon u32 [B, L], valid bool [B, L]); positions with i > L - l are invalid.
+    Mirrors oracle nthash32 exactly (same prefix-XOR formulation).
+    """
+    B, L = codes.shape
+    seed = jnp.asarray(SEED32)
+    seedc = jnp.asarray(SEED32C)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    a = _rol32(seed[codes], (l - 1 - pos) % 32)
+    b = _rol32(seedc[codes], pos % 32)
+    pa = jax.lax.associative_scan(jnp.bitwise_xor, a, axis=1)
+    pb = jax.lax.associative_scan(jnp.bitwise_xor, b, axis=1)
+    # window xor over [i, i+l): prefix[i+l-1] ^ prefix[i-1]
+    zeros = jnp.zeros((B, 1), dtype=jnp.uint32)
+    pa = jnp.concatenate([zeros, pa], axis=1)  # pa[:, i] = xor of a[:, :i]
+    pb = jnp.concatenate([zeros, pb], axis=1)
+    # shift so wa[:, i] = pa[:, i+l] ^ pa[:, i]; out-of-range -> garbage, masked by valid
+    pad = jnp.zeros((B, l), dtype=jnp.uint32)
+    pa_hi = jnp.concatenate([pa[:, l:], pad], axis=1)[:, :L]
+    pb_hi = jnp.concatenate([pb[:, l:], pad], axis=1)[:, :L]
+    fwd = _rol32(pa_hi ^ pa[:, :L], pos % 32)
+    rev = _rol32(pb_hi ^ pb[:, :L], (-pos) % 32)
+    canon = jnp.minimum(fwd, rev)
+    bad = (codes == INVALID).astype(jnp.int32)
+    cbad = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(bad, axis=1)], axis=1
+    )
+    cbad_hi = jnp.concatenate([cbad[:, l:], jnp.zeros((B, l), jnp.int32)], axis=1)[:, :L]
+    in_range = pos <= (L - l)
+    valid = in_range & ((cbad_hi - cbad[:, :L]) == 0)
+    return canon, valid
+
+
+def _compact_positions(sel: jax.Array, cap: int):
+    """Positions of True entries of sel [B, L], compacted to [B, cap] (ascending);
+    invalid slots hold 0. Returns (positions i32 [B, cap], count i32 [B])."""
+    B, L = sel.shape
+    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    key = jnp.where(sel, pos, _BIG_I32)
+    neg, _ = jax.lax.top_k(-key, cap)  # cap smallest keys
+    taken = -neg
+    valid = taken != _BIG_I32
+    n = jnp.sum(sel.astype(jnp.int32), axis=1)
+    return jnp.where(valid, taken, 0), jnp.minimum(n, cap)
+
+
+def minimizers_batch(codes: jax.Array, lengths: jax.Array, p: Params, cap: int):
+    """Density-selected minimizers, compacted to [B, cap].
+
+    Returns (mhash u32, mstart i32, mend i32, mn i32[B]).
+    """
+    if p.use_hpc:
+        hcodes, run_start, run_end, _ = hpc_compact(codes, lengths)
+    else:
+        B, L = codes.shape
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        inb = pos < lengths[:, None]
+        hcodes = jnp.where(inb, codes, np.uint8(INVALID))
+        run_start = jnp.broadcast_to(pos, (B, L))
+        run_end = run_start + 1
+    canon, valid = nthash32_batch(hcodes, p.l)
+    sel = valid & (canon < np.uint32(p.hash_threshold))
+    mpos, mn = _compact_positions(sel, cap)
+    mhash = jnp.take_along_axis(canon, mpos, axis=1)
+    mstart = jnp.take_along_axis(run_start, mpos, axis=1)
+    # end of minimizer at hpc pos q is run_end[q + l - 1]; q + l - 1 < L by validity
+    mend = jnp.take_along_axis(run_end, jnp.minimum(mpos + (p.l - 1), codes.shape[1] - 1), axis=1)
+    return mhash, mstart, mend, mn
+
+
+def _shift_left(x: jax.Array, i: int, fill):
+    """x[:, j] -> x[:, j + i], padding the tail with `fill`."""
+    if i == 0:
+        return x
+    B = x.shape[0]
+    pad = jnp.full((B, i), fill, dtype=x.dtype)
+    return jnp.concatenate([x[:, i:], pad], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "cap"))
+def seed_batch(codes: jax.Array, lengths: jax.Array, p: Params, cap: int) -> SeedBatch:
+    """codes u8 [B, L], lengths i32 [B] -> SeedBatch with M = cap slots.
+
+    Slot j is the k-min-mer with offset j (reference: ordinal in the sequence's
+    k-min-mer list). Matches oracle `kminmers` exactly for reads whose minimizer
+    count fits the cap.
+    """
+    k = p.k
+    mhash, mstart, mend, mn = minimizers_batch(codes, lengths, p, cap)
+    # window views W_i[:, j] = mhash[:, j + i]
+    W = [_shift_left(mhash, i, 0) for i in range(k)]
+    # lexicographic fwd-vs-reversed comparison
+    rev = jnp.zeros(mhash.shape, dtype=bool)
+    decided = jnp.zeros(mhash.shape, dtype=bool)
+    for i in range(k):
+        wr = W[k - 1 - i]
+        neq = W[i] != wr
+        use = neq & ~decided
+        rev = jnp.where(use, W[i] > wr, rev)
+        decided = decided | neq
+    # FNV-1a / murmur-flavored mixing over the canonical orientation
+    h1 = jnp.full(mhash.shape, _FNV_OFFSET, dtype=jnp.uint32)
+    h2 = jnp.full(mhash.shape, _MIX2_OFFSET, dtype=jnp.uint32)
+    for i in range(k):
+        v = jnp.where(rev, W[k - 1 - i], W[i])
+        h1 = (h1 ^ v) * _FNV_PRIME
+        h2 = (h2 ^ v) * _MIX2_PRIME
+        h2 = (h2 << 13) | (h2 >> 19)
+    h1 = _fmix32(h1)
+    h2 = _fmix32(h2)
+    kend = _shift_left(mend, k - 1, 0)
+    n = jnp.maximum(mn - (k - 1), 0)
+    n = jnp.where(lengths >= p.min_seq_len, n, 0)
+    slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    ok = slot < n[:, None]
+    zero32 = jnp.zeros_like(h1)
+    return SeedBatch(
+        h1=jnp.where(ok, h1, zero32),
+        h2=jnp.where(ok, h2, zero32),
+        start=jnp.where(ok, mstart, 0),
+        end=jnp.where(ok, kend, 0),
+        rev=ok & rev,
+        n=n,
+    )
