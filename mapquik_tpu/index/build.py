@@ -1,0 +1,145 @@
+"""Reference index construction: windowed device extraction + global sort/dedup.
+
+The reference indexes per *contig* on CPU worker threads (src/closures.rs:83-90 —
+a single-contig genome indexes serially, a real bottleneck noted in SURVEY.md §5).
+Here every contig is split into fixed windows that extract in device batches, so index
+build parallelizes within a contig regardless of contig count:
+
+  - Window cores are disjoint; each window scans its core plus a right halo so
+    k-min-mers spanning the boundary are seen by their owning window.
+  - Core boundaries are snapped forward to homopolymer-run starts so window-local HPC
+    equals whole-contig HPC (no run is split across a core boundary).
+  - A k-min-mer is owned by the window containing its first minimizer's start; owned
+    k-min-mers are a prefix of the window's output (starts are nondecreasing), and
+    global offsets are window-prefix sums — identical numbering to whole-contig
+    extraction (offset = ordinal in the contig's k-min-mer list, src/index.rs:47).
+
+A k-min-mer whose minimizer span exceeds the halo (sub-astronomical probability at
+default density; SURVEY.md §7 hard part (b)) is dropped — `halo` is configurable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..oracle.pyref import encode
+from ..ops.seeding import seed_batch
+from ..params import Params
+from .lookup import RefIndex, from_host_arrays
+
+
+@dataclass
+class RefMeta:
+    names: List[str]
+    lengths: np.ndarray  # int64 [n_refs]
+
+
+def _snap_to_run_start(codes: np.ndarray, pos: int) -> int:
+    """Advance pos to the next index where a new homopolymer run begins."""
+    n = codes.shape[0]
+    while 0 < pos < n and codes[pos] == codes[pos - 1]:
+        pos += 1
+    return pos
+
+
+def plan_windows(codes: np.ndarray, p: Params) -> List[Tuple[int, int, int]]:
+    """[(core_start, core_end, slice_end)] covering the contig; cores disjoint,
+    snapped to run starts; slice extends core by the halo (clamped)."""
+    n = codes.shape[0]
+    if n < p.min_seq_len:
+        return []
+    out = []
+    core_start = 0
+    while core_start < n:
+        core_end = core_start + p.ref_window
+        if core_end < n:
+            core_end = _snap_to_run_start(codes, core_end)
+        core_end = min(core_end, n)
+        slice_end = min(core_end + p.ref_halo, n)
+        out.append((core_start, core_end, slice_end))
+        core_start = core_end
+    return out
+
+
+def extract_contig_kminmers(
+    codes: np.ndarray, p: Params, batch_windows: int = 4
+) -> Tuple[np.ndarray, ...]:
+    """All k-min-mers of one contig as host arrays (h1, h2, start, end, offset, rev),
+    ordered and numbered exactly as whole-contig extraction."""
+    import jax.numpy as jnp
+
+    wins = plan_windows(codes, p)
+    if not wins:
+        z32 = np.zeros(0, dtype=np.uint32)
+        zi = np.zeros(0, dtype=np.int64)
+        return z32, z32, zi, zi, zi, np.zeros(0, dtype=bool)
+    # pad L to a power of two and B to batch_windows to bound jit specializations
+    L = 1 << int(np.ceil(np.log2(max(64, max(se - cs for cs, _, se in wins)))))
+    cap = p.ref_window_minimizers
+    parts = []
+    for i in range(0, len(wins), batch_windows):
+        chunk = wins[i : i + batch_windows]
+        B = batch_windows
+        arr = np.full((B, L), 4, dtype=np.uint8)
+        lens = np.zeros(B, dtype=np.int32)
+        for bi, (cs, _, se) in enumerate(chunk):
+            arr[bi, : se - cs] = codes[cs:se]
+            lens[bi] = se - cs
+        sb = seed_batch(jnp.asarray(arr), jnp.asarray(lens), p, cap)
+        h1, h2, st, en, rv, n = (np.asarray(x) for x in sb)
+        for bi, (cs, ce, _) in enumerate(chunk):
+            nk = int(n[bi])
+            # owned = prefix with absolute start < core_end
+            st_abs = st[bi, :nk].astype(np.int64) + cs
+            n_owned = int(np.searchsorted(st_abs, ce, side="left"))
+            parts.append(
+                (
+                    h1[bi, :n_owned],
+                    h2[bi, :n_owned],
+                    st_abs[:n_owned],
+                    en[bi, :n_owned].astype(np.int64) + cs,
+                    rv[bi, :n_owned],
+                )
+            )
+    h1 = np.concatenate([x[0] for x in parts])
+    h2 = np.concatenate([x[1] for x in parts])
+    st = np.concatenate([x[2] for x in parts])
+    en = np.concatenate([x[3] for x in parts])
+    rv = np.concatenate([x[4] for x in parts])
+    off = np.arange(h1.shape[0], dtype=np.int64)
+    return h1, h2, st, en, off, rv
+
+
+def build_index(
+    contigs: Sequence[Tuple[str, bytes]], p: Params, batch_windows: int = 4
+) -> Tuple[RefIndex, RefMeta]:
+    """Full reference index from (name, seq) contigs. Returns (index, metadata)."""
+    names: List[str] = []
+    lengths: List[int] = []
+    cols = {k: [] for k in ("h1", "h2", "rid", "start", "end", "off", "rc")}
+    for rid, (name, seq) in enumerate(contigs):
+        names.append(name)
+        codes = encode(seq)
+        lengths.append(codes.shape[0])
+        h1, h2, st, en, off, rv = extract_contig_kminmers(codes, p, batch_windows)
+        cols["h1"].append(h1)
+        cols["h2"].append(h2)
+        cols["rid"].append(np.full(h1.shape[0], rid, dtype=np.int64))
+        cols["start"].append(st)
+        cols["end"].append(en)
+        cols["off"].append(off)
+        cols["rc"].append(rv)
+    cat = {k: np.concatenate(v) if v else np.zeros(0) for k, v in cols.items()}
+    index = from_host_arrays(
+        cat["h1"].astype(np.uint32),
+        cat["h2"].astype(np.uint32),
+        cat["rid"],
+        cat["start"],
+        cat["end"],
+        cat["off"],
+        cat["rc"].astype(bool),
+    )
+    return index, RefMeta(names=names, lengths=np.asarray(lengths, dtype=np.int64))

@@ -1,0 +1,105 @@
+"""Device-resident unique-seed index: sorted (h1, h2) key pairs + payload columns.
+
+The reference stores k-min-mers in a sharded concurrent hash map keyed by the hash
+itself with duplicate-insertion tombstoning (src/index.rs:73-126). Here the index is an
+immutable sorted array built by sort + adjacent-duplicate removal (dedup as a segment
+operation — SURVEY.md §2.3 TPU plan), probed with a vectorized pair-key binary search.
+Removing every key that occurs more than once is exactly the reference's
+tombstone-then-filter semantics (only k-min-mers unique in the whole reference match).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RefIndex(NamedTuple):
+    """Sorted-unique key columns + payload columns (reference Entry fields)."""
+
+    h1: jax.Array      # uint32 [N] sorted by (h1, h2)
+    h2: jax.Array      # uint32 [N]
+    rid: jax.Array     # int32  [N] reference (contig) id
+    start: jax.Array   # int32  [N]
+    end: jax.Array     # int32  [N]
+    offset: jax.Array  # int32  [N] ordinal in the contig's k-min-mer list
+    rc: jax.Array      # bool   [N]
+
+    @property
+    def n(self) -> int:
+        return self.h1.shape[0]
+
+
+class ProbeResult(NamedTuple):
+    hit: jax.Array     # bool  [...]
+    rid: jax.Array     # int32 [...]
+    start: jax.Array   # int32 [...]
+    end: jax.Array     # int32 [...]
+    offset: jax.Array  # int32 [...]
+    rc: jax.Array      # bool  [...]
+
+
+def from_host_arrays(
+    h1: np.ndarray, h2: np.ndarray, rid, start, end, offset, rc, dedup: bool = True
+) -> RefIndex:
+    """Sort by (h1, h2); drop every key occurring more than once (tombstoning)."""
+    order = np.lexsort((h2, h1))
+    h1, h2 = h1[order], h2[order]
+    rid, start, end, offset, rc = (a[order] for a in (rid, start, end, offset, rc))
+    if dedup and h1.shape[0] > 0:
+        same_prev = np.zeros(h1.shape[0], dtype=bool)
+        same_prev[1:] = (h1[1:] == h1[:-1]) & (h2[1:] == h2[:-1])
+        dup = same_prev.copy()
+        dup[:-1] |= same_prev[1:]
+        keep = ~dup
+        h1, h2 = h1[keep], h2[keep]
+        rid, start, end, offset, rc = (a[keep] for a in (rid, start, end, offset, rc))
+    return RefIndex(
+        h1=jnp.asarray(h1.astype(np.uint32)),
+        h2=jnp.asarray(h2.astype(np.uint32)),
+        rid=jnp.asarray(rid.astype(np.int32)),
+        start=jnp.asarray(start.astype(np.int32)),
+        end=jnp.asarray(end.astype(np.int32)),
+        offset=jnp.asarray(offset.astype(np.int32)),
+        rc=jnp.asarray(rc.astype(bool)),
+    )
+
+
+def probe(index: RefIndex, qh1: jax.Array, qh2: jax.Array) -> ProbeResult:
+    """Vectorized binary search for pair keys. Any input shape; exact membership.
+
+    ~log2(N) dependent gathers per query (the reference's hot loop C — random hash-map
+    probes, src/index.rs:118-126). A Pallas open-addressing backend can replace this
+    without touching callers.
+    """
+    n = index.n
+    shape = qh1.shape
+    if n == 0:
+        z = jnp.zeros(shape, jnp.int32)
+        return ProbeResult(jnp.zeros(shape, bool), z, z, z, z, jnp.zeros(shape, bool))
+    lo = jnp.zeros(shape, jnp.int32)
+    hi = jnp.full(shape, n, jnp.int32)
+    steps = max(1, int(np.ceil(np.log2(max(2, n)))) + 1)
+
+    def body(_, lh):
+        lo, hi = lh
+        mid = (lo + hi) >> 1
+        mh1 = index.h1[mid]
+        mh2 = index.h2[mid]
+        less = (mh1 < qh1) | ((mh1 == qh1) & (mh2 < qh2))
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    pos = jnp.minimum(lo, n - 1)
+    hit = (lo < n) & (index.h1[pos] == qh1) & (index.h2[pos] == qh2)
+    return ProbeResult(
+        hit=hit,
+        rid=index.rid[pos],
+        start=index.start[pos],
+        end=index.end[pos],
+        offset=index.offset[pos],
+        rc=index.rc[pos],
+    )

@@ -1,0 +1,129 @@
+"""End-to-end jitted mapping: [B, L] read batch -> per-read mapping records.
+
+One XLA program per (B, L, params) specialization fusing the reference's hot loops
+A-D (SURVEY.md §3.2): seeding scan, index probe, match segmentation, chaining,
+best-hit selection and coordinate projection. The host only pads batches in and
+formats PAF text out (src/mers.rs:181 line layout).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.build import RefMeta, build_index
+from ..index.lookup import RefIndex, probe
+from ..oracle.pyref import encode
+from ..params import Params
+from .chaining import MapResult, chain_and_select, project_coords
+from .matching import find_matches
+from .seeding import seed_batch
+
+
+@functools.partial(jax.jit, static_argnames=("p", "cap"))
+def map_batch(
+    codes: jax.Array,     # uint8 [B, L]
+    lengths: jax.Array,   # int32 [B]
+    index: RefIndex,
+    ref_lens: jax.Array,  # int32/int64 [n_refs]
+    p: Params,
+    cap: int,
+) -> MapResult:
+    sb = seed_batch(codes, lengths, p, cap)
+    pr = probe(index, sb.h1, sb.h2)
+    mb = find_matches(sb, pr, p)
+    sel = chain_and_select(mb, p)
+    return project_coords(sel, lengths, ref_lens)
+
+
+def format_paf(
+    names: Sequence[str],
+    lengths: Sequence[int],
+    res: MapResult,
+    meta: RefMeta,
+) -> List[str]:
+    """PAF lines for mapped reads. Column contract per src/mers.rs:181: col 10 carries
+    the pseudo-chain score, col 11 carries r_len, MAPQ in {0, 60}."""
+    mapped = np.asarray(res.mapped)
+    rc = np.asarray(res.rc)
+    qs = np.asarray(res.q_start)
+    qe = np.asarray(res.q_end)
+    rid = np.asarray(res.rid)
+    rs = np.asarray(res.r_start)
+    re_ = np.asarray(res.r_end)
+    score = np.asarray(res.score)
+    mapq = np.asarray(res.mapq)
+    out = []
+    for i in range(len(names)):
+        if not mapped[i]:
+            continue
+        r = int(rid[i])
+        rlen = int(meta.lengths[r])
+        strand = "-" if rc[i] else "+"
+        out.append(
+            f"{names[i]}\t{lengths[i]}\t{qs[i]}\t{qe[i]}\t{strand}\t{meta.names[r]}"
+            f"\t{rlen}\t{rs[i]}\t{re_[i]}\t{score[i]}\t{rlen}\t{mapq[i]}"
+        )
+    return out
+
+
+class Mapper:
+    """Host-side driver: index a reference, then map read streams in padded batches.
+
+    Replaces the reference's thread-pooled streaming driver (src/closures.rs:22-257)
+    with batched device dispatch. Reads are padded to the params' length bins; reads
+    longer than the largest bin are truncated with a warning (cap `max_read_len`).
+    """
+
+    def __init__(self, contigs: Sequence[Tuple[str, bytes]], p: Params):
+        self.p = p
+        self.index, self.meta = build_index(contigs, p)
+        self.ref_lens = jnp.asarray(self.meta.lengths.astype(np.int32))
+
+    @property
+    def n_unique(self) -> int:
+        return self.index.n
+
+    def map_reads(
+        self, reads: Iterable[Tuple[str, bytes]], batch_size: Optional[int] = None
+    ) -> Iterator[str]:
+        """Yield PAF lines (reads in input order; unmapped reads skipped)."""
+        p = self.p
+        B = batch_size or p.batch_size
+        names: List[str] = []
+        lens: List[int] = []
+        buf = np.full((B, p.max_read_len), 4, dtype=np.uint8)
+
+        def flush():
+            nonlocal names, lens, buf
+            if not names:
+                return []
+            res = map_batch(
+                jnp.asarray(buf),
+                jnp.asarray(np.asarray(lens + [0] * (B - len(lens)), dtype=np.int32)),
+                self.index,
+                self.ref_lens,
+                p,
+                p.max_minimizers,
+            )
+            lines = format_paf(names, lens, res, self.meta)
+            names, lens = [], []
+            buf = np.full((B, p.max_read_len), 4, dtype=np.uint8)
+            return lines
+
+        for name, seq in reads:
+            codes = encode(seq)
+            L = codes.shape[0]
+            if L > p.max_read_len:
+                codes = codes[: p.max_read_len]
+                L = p.max_read_len
+            buf[len(names), :L] = codes
+            names.append(name)
+            lens.append(L)
+            if len(names) == B:
+                yield from flush()
+        yield from flush()

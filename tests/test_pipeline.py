@@ -1,0 +1,102 @@
+"""Differential tests: device index build + full mapping pipeline vs the oracle."""
+
+import numpy as np
+import pytest
+
+from mapquik_tpu.params import Params
+from mapquik_tpu.oracle import pyref as o
+from mapquik_tpu.eval.simulate import markov_genome, simulate_reads
+from mapquik_tpu.eval.mapeval import evaluate_paf
+from mapquik_tpu.index.build import build_index
+from mapquik_tpu.ops.pipeline import Mapper
+
+P = Params(
+    k=5, l=17, density=0.05,
+    ref_window=1 << 14, ref_halo=1 << 12, ref_window_minimizers=1 << 12,
+    max_read_len=1 << 13, max_minimizers=1 << 9, batch_size=16,
+)
+
+
+@pytest.fixture(scope="module")
+def genome():
+    return markov_genome(120_000, seed=101, n_contigs=3)
+
+
+@pytest.fixture(scope="module")
+def reads(genome):
+    return simulate_reads(genome, 48, mean_len=5000, accuracy=0.99, seed=7)
+
+
+class TestIndexBuild:
+    def test_matches_oracle_index(self, genome):
+        """Windowed device extraction + sort/dedup == oracle whole-contig dict index."""
+        index, meta = build_index(genome, P)
+        oidx = o.build_index([o.encode(s) for _, s in genome], P)
+        # oracle unique entries
+        want = {}
+        for key, e in oidx.items():
+            if e is not None:
+                want[key] = (e.id, e.start, e.end, e.offset, e.rc)
+        h1 = np.asarray(index.h1, dtype=np.uint64)
+        h2 = np.asarray(index.h2, dtype=np.uint64)
+        keys = (h1 << 32) | h2
+        got = {}
+        rid = np.asarray(index.rid)
+        st = np.asarray(index.start)
+        en = np.asarray(index.end)
+        off = np.asarray(index.offset)
+        rc = np.asarray(index.rc)
+        for i in range(keys.shape[0]):
+            got[int(keys[i])] = (int(rid[i]), int(st[i]), int(en[i]), int(off[i]), bool(rc[i]))
+        assert len(got) == len(want)
+        assert got == want
+
+    def test_sorted_unique(self, genome):
+        index, _ = build_index(genome, P)
+        h1 = np.asarray(index.h1, dtype=np.uint64)
+        h2 = np.asarray(index.h2, dtype=np.uint64)
+        keys = (h1 << 32) | h2
+        assert (np.diff(keys.astype(np.int64)) > 0).all() or keys.shape[0] < 2
+
+
+class TestPipelineVsOracle:
+    def test_paf_identical(self, genome, reads):
+        mapper = Mapper(genome, P)
+        device_lines = list(mapper.map_reads(reads))
+
+        codes_contigs = [o.encode(s) for _, s in genome]
+        oidx = o.build_index(codes_contigs, P)
+        refs = [o.RefInfo(nm, len(s)) for nm, s in genome]
+        oracle_lines = []
+        for name, seq in reads:
+            ln = o.map_read(name, o.encode(seq), oidx, refs, P)
+            if ln:
+                oracle_lines.append(ln)
+        assert len(oracle_lines) > 30  # sanity: most reads map
+        assert device_lines == oracle_lines
+
+    def test_accuracy(self, genome, reads):
+        mapper = Mapper(genome, P)
+        res = evaluate_paf(mapper.map_reads(reads), n_reads=len(reads))
+        assert res.n_wrong == 0
+        assert res.n_mapped >= 0.9 * res.n_reads
+
+    def test_degenerate_reads(self, genome):
+        mapper = Mapper(genome, P)
+        weird = [
+            ("empty", b""),
+            ("short", b"ACGT"),
+            ("ns", b"N" * 500),
+            ("random", bytes(np.frombuffer(b"ACGT", np.uint8)[
+                np.random.default_rng(0).integers(0, 4, 3000, dtype=np.uint8)])),
+        ]
+        assert list(mapper.map_reads(weird)) == []
+
+
+class TestCheckBugToggle:
+    def test_fixed_semantics_also_maps(self, genome, reads):
+        p_fixed = Params(**{**P.__dict__, "fix_check_bug": True})
+        mapper = Mapper(genome, p_fixed)
+        res = evaluate_paf(mapper.map_reads(reads), n_reads=len(reads))
+        assert res.n_wrong == 0
+        assert res.n_mapped >= 0.9 * res.n_reads
