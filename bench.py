@@ -1,0 +1,111 @@
+"""Benchmark: HiFi read mapping throughput (reads/s/chip) on one device.
+
+Workload mirrors the reference's headline benchmark shape (SURVEY.md §6: simulated
+24kb 99%-accuracy HiFi reads, default-ish params) on a synthetic genome (real genomes
+are not available in this environment). Baseline for `vs_baseline`: the reference's
+measured aggregate throughput on simulated CHM13 10X — 1,490,410 reads / ~19.9s map
+phase on 10 threads ≈ 75,000 reads/s (BASELINE.md, experiments/figure-k-l/k_perf.csv).
+
+Prints exactly one JSON line:
+  {"metric": "map_throughput", "value": <reads/s/chip>, "unit": "reads/s/chip",
+   "vs_baseline": <value / 75000>, ...extras}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    t_start = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    from mapquik_tpu.params import Params
+    from mapquik_tpu.eval.simulate import markov_genome, simulate_reads
+    from mapquik_tpu.eval.mapeval import evaluate_paf
+    from mapquik_tpu.index.build import build_index
+    from mapquik_tpu.ops.pipeline import Mapper, map_batch, format_paf
+    from mapquik_tpu.oracle.pyref import encode
+
+    genome_mb = int(os.environ.get("BENCH_GENOME_MB", "32"))
+    n_reads = int(os.environ.get("BENCH_READS", "2048"))
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    p = Params(
+        k=7, l=31, density=0.01,  # human-scale headline params (table1.sh k=7 l=31 d=0.01)
+        max_read_len=1 << 15, max_minimizers=1 << 9, batch_size=B,
+    )
+
+    genome = markov_genome(genome_mb * 1_000_000, seed=11, n_contigs=4)
+    reads = simulate_reads(genome, n_reads, mean_len=24_000, accuracy=0.99, seed=12)
+
+    t0 = time.time()
+    index, meta = build_index(genome, p)
+    index = jax.tree.map(lambda x: jax.block_until_ready(x), index)
+    index_s = time.time() - t0
+
+    # pack all batches up front (host prep excluded from steady-state timing)
+    L = p.max_read_len
+    batches = []
+    for i in range(0, n_reads, B):
+        chunk = reads[i : i + B]
+        codes = np.full((B, L), 4, np.uint8)
+        lens = np.zeros(B, np.int32)
+        nm = []
+        for j, (name, seq) in enumerate(chunk):
+            c = encode(seq)[:L]
+            codes[j, : len(c)] = c
+            lens[j] = len(c)
+            nm.append(name)
+        batches.append((jnp.asarray(codes), jnp.asarray(lens), nm))
+    ref_lens = jnp.asarray(meta.lengths.astype(np.int32))
+
+    # warmup/compile
+    res = map_batch(batches[0][0], batches[0][1], index, ref_lens, p, p.max_minimizers)
+    jax.block_until_ready(res)
+
+    t0 = time.time()
+    results = []
+    for codes, lens, nm in batches:
+        results.append(map_batch(codes, lens, index, ref_lens, p, p.max_minimizers))
+    jax.block_until_ready(results)
+    map_s = time.time() - t0
+    reads_per_s = n_reads / map_s
+
+    # accuracy sanity on the same run
+    paf = []
+    for (codes, lens, nm), res in zip(batches, results):
+        paf.extend(format_paf(nm, [int(x) for x in np.asarray(lens)], res, meta))
+    ev = evaluate_paf(paf, n_reads=n_reads)
+
+    print(
+        json.dumps(
+            {
+                "metric": "map_throughput",
+                "value": round(reads_per_s, 1),
+                "unit": "reads/s/chip",
+                "vs_baseline": round(reads_per_s / 75000.0, 4),
+                "extras": {
+                    "device": str(jax.devices()[0]),
+                    "genome_mb": genome_mb,
+                    "n_reads": n_reads,
+                    "batch": B,
+                    "map_s": round(map_s, 3),
+                    "index_build_s": round(index_s, 2),
+                    "index_kminmers": int(index.n),
+                    "mapped_frac": round(ev.n_mapped / max(1, n_reads), 4),
+                    "wrong": ev.n_wrong,
+                    "q60": ev.q60_total,
+                    "q60_wrong": ev.q60_wrong,
+                    "total_s": round(time.time() - t_start, 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Command-line interface, flag-compatible with the reference binary.
+
+Flags, defaults, warnings, and log lines mirror src/main.rs:77-271 (same knobs and
+defaults: k=5 l=31 d=0.01 c=4 s=11 g=2000); TPU-specific additions are namespaced
+(--backend, --batch-size, --max-read-len). `--nosimd`, `--threads`, `-b`, `-q`,
+`--low-memory`, `--parallelfastx` are accepted for CLI parity; on the TPU runtime the
+equivalents are batch shaping knobs, so they only influence batching or are no-ops.
+
+Usage: python -m mapquik_tpu.cli <reads.fq> --reference <ref.fa> [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import resource
+import sys
+import time
+
+from .io import fastx
+from .params import Params, default_output_prefix
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="mapquik-tpu",
+        description="TPU-native implementation of mapquik, a fast HiFi read mapper.",
+    )
+    ap.add_argument("reads", help="input reads (FASTA/FASTQ, optionally .gz)")
+    ap.add_argument("--reference", required=True, help="reference genome to index and map to")
+    ap.add_argument("-p", "--prefix", default=None, help="output prefix for PAF file")
+    ap.add_argument("-k", type=int, default=None, help="k-min-mer length")
+    ap.add_argument("-l", type=int, default=None, help="l-mer (minimizer) length")
+    ap.add_argument("-d", "--density", type=float, default=None, help="density threshold")
+    ap.add_argument("-c", "--chain", type=int, default=None, help="minimum chain length")
+    ap.add_argument("-s", "--seed", type=int, default=None, help="minimum number of matching seeds")
+    ap.add_argument("-g", "--gap-diff", type=int, default=None, help="max gap length difference")
+    ap.add_argument("--threads", type=int, default=None, help="accepted for parity (batching is automatic)")
+    ap.add_argument("--debug", action="store_true")
+    ap.add_argument("--low-memory", action="store_true", help="smaller device batches")
+    ap.add_argument("--nohpc", action="store_true", help="deactivate homopolymer compression")
+    ap.add_argument("--nosimd", action="store_true", help="accepted for parity (no-op on TPU)")
+    ap.add_argument("--parallelfastx", action="store_true", help="accepted for parity (no-op)")
+    ap.add_argument("-b", type=int, default=None, help="buffer size multiplier (parity; no-op)")
+    ap.add_argument("-q", type=int, default=None, help="queue length (parity; no-op)")
+    # TPU-native knobs
+    ap.add_argument("--backend", choices=["jax", "oracle"], default="jax",
+                    help="jax = device pipeline (default); oracle = slow pure-Python reference")
+    ap.add_argument("--batch-size", type=int, default=None, help="reads per device batch")
+    ap.add_argument("--max-read-len", type=int, default=None,
+                    help="padded read length cap (longer reads truncated)")
+    ap.add_argument("--fix-check-bug", action="store_true",
+                    help="use fixed match-extension semantics instead of reference parity")
+    return ap
+
+
+def params_from_args(args) -> Params:
+    defaults = Params()
+    kw = {}
+    for name, flag in (("k", "k"), ("l", "l"), ("density", "density"),
+                       ("c", "chain"), ("s", "seed"), ("g", "gap_diff")):
+        v = getattr(args, flag)
+        if v is None:
+            print(f"Warning: Using default {name} value ({getattr(defaults, name)}).")
+        else:
+            kw[name] = v
+    if args.nohpc:
+        kw["use_hpc"] = False
+    if args.fix_check_bug:
+        kw["fix_check_bug"] = True
+    if args.batch_size:
+        kw["batch_size"] = args.batch_size
+    elif args.low_memory:
+        kw["batch_size"] = 64
+    if args.max_read_len:
+        kw["max_read_len"] = 1 << (args.max_read_len - 1).bit_length()
+    return Params(**kw)
+
+
+def main(argv=None) -> int:
+    t0 = time.time()
+    args = build_argparser().parse_args(argv)
+    p = params_from_args(args)
+    prefix = args.prefix or default_output_prefix(p)
+    if args.prefix is None:
+        print(f"Warning: Using default output prefix ({prefix}).")
+    print(f"Input file: {args.reads}")
+    print(f"Reference file: {args.reference}")
+    print("Using HPC ntHash, TPU kernels" if p.use_hpc else "Using regular ntHash (not HPC), TPU kernels")
+
+    contigs = list(fastx.iter_fastx(args.reference))
+    ti = time.time()
+    if args.backend == "jax":
+        from .ops.pipeline import Mapper
+
+        mapper = Mapper(contigs, p)
+        n_unique = mapper.n_unique
+        print(f"Indexed {n_unique} unique k-min-mers in {time.time()-ti:.2f}s.")
+        tq = time.time()
+        n_lines = 0
+        with open(prefix + ".paf", "w") as out:
+            for line in mapper.map_reads(fastx.iter_fastx(args.reads)):
+                out.write(line + "\n")
+                n_lines += 1
+    else:
+        from .oracle import pyref
+
+        codes = [pyref.encode(s) for _, s in contigs]
+        idx = pyref.build_index(codes, p)
+        refs = [pyref.RefInfo(nm, len(s)) for nm, s in contigs]
+        print(f"Indexed {idx.n_unique()} unique k-min-mers in {time.time()-ti:.2f}s.")
+        tq = time.time()
+        n_lines = 0
+        with open(prefix + ".paf", "w") as out:
+            for name, seq in fastx.iter_fastx(args.reads):
+                line = pyref.map_read(name, pyref.encode(seq), idx, refs, p)
+                if line:
+                    out.write(line + "\n")
+                    n_lines += 1
+    print(f"Mapped query sequences in {time.time()-tq:.2f}s ({n_lines} mapped).")
+    print(f"Total execution time: {time.time()-t0:.2f}s")
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0 / 1024.0
+    print(f"Maximum RSS: {rss_gb:.2f}GB")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -139,15 +139,23 @@ def nthash32_batch(codes: jax.Array, l: int):
 
 def _compact_positions(sel: jax.Array, cap: int):
     """Positions of True entries of sel [B, L], compacted to [B, cap] (ascending);
-    invalid slots hold 0. Returns (positions i32 [B, cap], count i32 [B])."""
+    invalid slots hold 0. Returns (positions i32 [B, cap], count i32 [B]).
+
+    O(L) cumsum + one flat scatter (a top_k formulation compiles to a giant sort on
+    TPU for large L*cap; the scatter is bandwidth-bound and shape-independent)."""
     B, L = sel.shape
     pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
-    key = jnp.where(sel, pos, _BIG_I32)
-    neg, _ = jax.lax.top_k(-key, cap)  # cap smallest keys
-    taken = -neg
-    valid = taken != _BIG_I32
-    n = jnp.sum(sel.astype(jnp.int32), axis=1)
-    return jnp.where(valid, taken, 0), jnp.minimum(n, cap)
+    tgt = jnp.cumsum(sel.astype(jnp.int32), axis=1) - 1
+    n = tgt[:, -1] + 1
+    row = jnp.arange(B, dtype=jnp.int32)[:, None] * cap
+    flat_tgt = jnp.where(sel & (tgt < cap), row + tgt, np.int32(B * cap))
+    out = (
+        jnp.zeros((B * cap,), jnp.int32)
+        .at[flat_tgt.reshape(-1)]
+        .set(pos.reshape(-1), mode="drop")
+        .reshape(B, cap)
+    )
+    return out, jnp.minimum(n, cap)
 
 
 def minimizers_batch(codes: jax.Array, lengths: jax.Array, p: Params, cap: int):
