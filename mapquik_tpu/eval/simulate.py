@@ -58,11 +58,15 @@ def simulate_reads(
     accuracy: float = 0.99,
     seed: int = 1,
     name_prefix: str = "S1",
+    error_profile: Tuple[float, float, float] = (0.10, 0.45, 0.45),
 ) -> List[Tuple[str, bytes]]:
-    """Sample reads uniformly; inject substitutions/insertions/deletions to the target
-    accuracy (60% sub / 20% ins / 20% del, pbsim-ish); RC half of them. Read names carry
-    truth: `{prefix}_{i}!{chr}!{start}!{end}!{strand}` (1-based inclusive start like
-    pbsim2fq output in the reference example)."""
+    """Sample reads uniformly; inject errors to the target accuracy; RC half of them.
+
+    Default error_profile (sub, homopolymer-insertion, deletion) follows the HiFi
+    error spectrum — dominated by single-base homopolymer indels, which homopolymer
+    compression absorbs (the regime the reference's HPC ntHash targets, README.md:12).
+    Read names carry truth: `{prefix}_{i}!{chr}!{start}!{end}!{strand}` (1-based
+    inclusive start like pbsim2fq output in the reference example)."""
     rng = np.random.default_rng(seed)
     seqs = [np.frombuffer(s, dtype=np.uint8) for _, s in contigs]
     lut = np.full(256, 0, dtype=np.uint8)
@@ -84,18 +88,18 @@ def simulate_reads(
         n_err = rng.poisson(err * L)
         if n_err > 0:
             pos = np.sort(rng.integers(0, L, size=n_err))
-            kinds = rng.choice(3, p=[0.6, 0.2, 0.2], size=n_err)  # sub/ins/del
+            kinds = rng.choice(3, p=list(error_profile), size=n_err)  # sub/hp-ins/del
             out = []
             prev = 0
             for pp, kind in zip(pos, kinds):
                 out.append(frag[prev:pp])
-                if kind == 0:
+                if kind == 0:  # substitution
                     out.append(np.array([(frag[pp] + rng.integers(1, 4)) % 4], dtype=np.uint8))
                     prev = pp + 1
-                elif kind == 1:
-                    out.append(np.array([rng.integers(0, 4)], dtype=np.uint8))
+                elif kind == 1:  # homopolymer insertion: duplicate the current base
+                    out.append(frag[pp : pp + 1])
                     prev = pp
-                else:
+                else:  # deletion
                     prev = pp + 1
             out.append(frag[prev:])
             frag = np.concatenate(out).astype(np.uint8)

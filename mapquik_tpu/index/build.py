@@ -65,7 +65,7 @@ def plan_windows(codes: np.ndarray, p: Params) -> List[Tuple[int, int, int]]:
 
 
 def extract_contig_kminmers(
-    codes: np.ndarray, p: Params, batch_windows: int = 4
+    codes: np.ndarray, p: Params, batch_windows: int = 32
 ) -> Tuple[np.ndarray, ...]:
     """All k-min-mers of one contig as host arrays (h1, h2, start, end, offset, rev),
     ordered and numbered exactly as whole-contig extraction."""
@@ -114,15 +114,24 @@ def extract_contig_kminmers(
 
 
 def build_index(
-    contigs: Sequence[Tuple[str, bytes]], p: Params, batch_windows: int = 4
-) -> Tuple[RefIndex, RefMeta]:
-    """Full reference index from (name, seq) contigs. Returns (index, metadata)."""
+    contigs: Sequence[Tuple[str, bytes]],
+    p: Params,
+    batch_windows: int = 32,
+    backend: str = "hash",
+) -> Tuple[object, RefMeta]:
+    """Full reference index from (name, seq) contigs. Returns (index, metadata).
+
+    backend: "hash" (bucketed two-choice table; constant-depth probe, default) or
+    "sorted" (sorted pair-key array; binary-search probe)."""
+    from .hashtable import build_hash_index
+    from .lookup import dedup_host
+
     names: List[str] = []
     lengths: List[int] = []
     cols = {k: [] for k in ("h1", "h2", "rid", "start", "end", "off", "rc")}
     for rid, (name, seq) in enumerate(contigs):
         names.append(name)
-        codes = encode(seq)
+        codes = encode(seq) if not isinstance(seq, np.ndarray) else seq
         lengths.append(codes.shape[0])
         h1, h2, st, en, off, rv = extract_contig_kminmers(codes, p, batch_windows)
         cols["h1"].append(h1)
@@ -133,13 +142,24 @@ def build_index(
         cols["off"].append(off)
         cols["rc"].append(rv)
     cat = {k: np.concatenate(v) if v else np.zeros(0) for k, v in cols.items()}
-    index = from_host_arrays(
+    args = (
         cat["h1"].astype(np.uint32),
         cat["h2"].astype(np.uint32),
-        cat["rid"],
-        cat["start"],
-        cat["end"],
-        cat["off"],
+        cat["rid"].astype(np.int64),
+        cat["start"].astype(np.int64),
+        cat["end"].astype(np.int64),
+        cat["off"].astype(np.int64),
         cat["rc"].astype(bool),
     )
-    return index, RefMeta(names=names, lengths=np.asarray(lengths, dtype=np.int64))
+    meta = RefMeta(names=names, lengths=np.asarray(lengths, dtype=np.int64))
+    if backend == "hash":
+        h1, h2, rid_, st, en, off, rc_ = dedup_host(*args)
+        return (
+            build_hash_index(
+                h1, h2,
+                rid_.astype(np.int32), st.astype(np.int32), en.astype(np.int32),
+                off.astype(np.int32), rc_,
+            ),
+            meta,
+        )
+    return from_host_arrays(*args), meta

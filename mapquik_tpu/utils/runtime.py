@@ -1,0 +1,58 @@
+"""Runtime configuration: persistent XLA compilation cache + timers.
+
+This environment compiles TPU programs via a remote relay (minutes per large program),
+so the persistent cache is load-bearing: it makes CLI/bench startup near-instant after
+the first run. Safe to enable unconditionally — JAX keys entries by program hash,
+jaxlib version, and backend.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from contextlib import contextmanager
+
+
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "MAPQUIK_JAX_CACHE", os.path.expanduser("~/.cache/mapquik_tpu/jax_cache")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _CACHE_ENABLED = True
+    except Exception:
+        pass  # older jax or read-only fs: run without the cache
+
+
+class Timer:
+    """Lightweight phase timer mirroring the reference's per-phase printouts
+    (src/closures.rs:81,91-92,177,210-211)."""
+
+    def __init__(self):
+        self.phases = {}
+
+    @contextmanager
+    def phase(self, name: str):
+        t0 = time.time()
+        yield
+        self.phases[name] = self.phases.get(name, 0.0) + (time.time() - t0)
+
+    def report(self) -> str:
+        return " | ".join(f"{k}: {v:.2f}s" for k, v in self.phases.items())
+
+
+def max_rss_gb() -> float:
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0 / 1024.0

@@ -1,0 +1,248 @@
+// fastx.cpp — native multithreaded FASTA/FASTQ parser + 2-bit-class encoder.
+//
+// Role: the framework's equivalent of the reference's native parsing layer
+// (seq_io + rust-parallelfastx; SURVEY.md §2.8): mmap the file, find record
+// boundaries, and emit encoded sequence bytes (A=0 C=1 G=2 T=3, other=4 —
+// case-folded) plus per-record offsets and names, with the heavy byte work done
+// in parallel C++ so Python never touches per-base data.
+//
+// Design: two passes.
+//   pass 1 (parallel): chunk the file, each thread scans for record starts
+//     ('>' / '@' at line start) and counts them; FASTQ '@' ambiguity is resolved
+//     by full record structure (4-line records) on a single sequential
+//     boundary-index pass for FASTQ — records are located by walking line starts,
+//     which is still a cheap memchr scan.
+//   pass 2 (parallel): each thread encodes its records' sequence bytes into the
+//     output buffer at precomputed offsets (multi-line FASTA concatenated).
+//
+// Exposed C API (ctypes): fx_parse / fx_free. gzip inputs are inflated into an
+// anonymous buffer with zlib first.
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <fcntl.h>
+#include <string>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+struct Buf {
+    const uint8_t* data = nullptr;
+    size_t size = 0;
+    int fd = -1;
+    bool owned = false;  // heap (gz-inflated) vs mmap
+};
+
+bool load_file(const char* path, Buf& b) {
+    size_t n = std::strlen(path);
+    bool gz = n > 3 && std::strcmp(path + n - 3, ".gz") == 0;
+    if (gz) {
+        gzFile f = gzopen(path, "rb");
+        if (!f) return false;
+        size_t cap = 64 << 20, len = 0;
+        uint8_t* out = (uint8_t*)std::malloc(cap);
+        for (;;) {
+            if (len + (16 << 20) > cap) {
+                cap *= 2;
+                out = (uint8_t*)std::realloc(out, cap);
+            }
+            int got = gzread(f, out + len, 16 << 20);
+            if (got < 0) { gzclose(f); std::free(out); return false; }
+            len += (size_t)got;
+            if (got == 0) break;
+        }
+        gzclose(f);
+        b.data = out; b.size = len; b.owned = true;
+        return true;
+    }
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0) { close(fd); return false; }
+    void* p = mmap(nullptr, (size_t)st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (p == MAP_FAILED) { close(fd); return false; }
+    madvise(p, (size_t)st.st_size, MADV_SEQUENTIAL);
+    b.data = (const uint8_t*)p; b.size = (size_t)st.st_size; b.fd = fd;
+    return true;
+}
+
+void unload(Buf& b) {
+    if (b.owned) std::free((void*)b.data);
+    else if (b.data) munmap((void*)b.data, b.size);
+    if (b.fd >= 0) close(b.fd);
+}
+
+uint8_t g_code[256];
+struct CodeInit {
+    CodeInit() {
+        std::memset(g_code, 4, sizeof(g_code));
+        g_code['A'] = g_code['a'] = 0;
+        g_code['C'] = g_code['c'] = 1;
+        g_code['G'] = g_code['g'] = 2;
+        g_code['T'] = g_code['t'] = 3;
+    }
+} g_code_init;
+
+struct Rec {
+    size_t name_beg, name_end;  // byte range of the record id (first word)
+    size_t seq_beg, seq_end;    // byte range covering the sequence lines
+};
+
+// Locate records sequentially (cheap memchr line walk), then encode in parallel.
+struct Parsed {
+    std::vector<Rec> recs;
+    bool fastq = false;
+};
+
+void locate(const Buf& b, Parsed& out) {
+    const uint8_t* d = b.data;
+    size_t n = b.size;
+    size_t i = 0;
+    while (i < n && (d[i] == '\n' || d[i] == '\r')) i++;
+    if (i >= n) return;
+    out.fastq = d[i] == '@';
+    while (i < n) {
+        if (d[i] != '>' && d[i] != '@') break;  // malformed; stop
+        Rec r;
+        size_t j = i + 1;
+        while (j < n && d[j] != '\n' && d[j] != ' ' && d[j] != '\t' && d[j] != '\r') j++;
+        r.name_beg = i + 1;
+        r.name_end = j;
+        const uint8_t* nl = (const uint8_t*)memchr(d + j, '\n', n - j);
+        size_t line_end = nl ? (size_t)(nl - d) : n;
+        size_t s = line_end + 1;
+        if (out.fastq) {
+            const uint8_t* e = (const uint8_t*)memchr(d + s, '\n', s < n ? n - s : 0);
+            size_t seq_end = e ? (size_t)(e - d) : n;
+            r.seq_beg = s;
+            r.seq_end = seq_end;
+            // skip '+' line and quality line
+            size_t p = seq_end + 1;
+            const uint8_t* pl = p < n ? (const uint8_t*)memchr(d + p, '\n', n - p) : nullptr;
+            size_t q = pl ? (size_t)(pl - d) + 1 : n;
+            size_t qlen = seq_end - s;  // quality length == seq length
+            i = q + qlen;
+            while (i < n && (d[i] == '\n' || d[i] == '\r')) i++;
+        } else {
+            size_t e = s;
+            while (e < n) {
+                if (d[e] == '>') break;
+                const uint8_t* enl = (const uint8_t*)memchr(d + e, '\n', n - e);
+                e = enl ? (size_t)(enl - d) + 1 : n;
+            }
+            r.seq_beg = s;
+            r.seq_end = e;
+            i = e;
+        }
+        if (r.seq_beg > n) r.seq_beg = n;
+        if (r.seq_end > n) r.seq_end = n;
+        out.recs.push_back(r);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+struct FxResult {
+    uint8_t* codes;      // encoded sequence bytes, concatenated
+    int64_t* rec_off;    // [n+1] offsets into codes
+    char* names;         // record ids, '\0'-separated, concatenated
+    int64_t* name_off;   // [n+1] offsets into names
+    int64_t n_records;
+    int64_t total_len;
+};
+
+int fx_parse(const char* path, int n_threads, FxResult* out) {
+    Buf b;
+    if (!load_file(path, b)) return -1;
+    Parsed ps;
+    locate(b, ps);
+    size_t n = ps.recs.size();
+    out->n_records = (int64_t)n;
+    out->rec_off = (int64_t*)std::malloc((n + 1) * sizeof(int64_t));
+    out->name_off = (int64_t*)std::malloc((n + 1) * sizeof(int64_t));
+
+    // compute per-record encoded lengths (exclude newlines for FASTA)
+    std::vector<size_t> seqlen(n), namelen(n);
+    {
+        std::vector<std::thread> th;
+        std::atomic<size_t> next{0};
+        int T = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
+        auto work = [&]() {
+            size_t i;
+            while ((i = next.fetch_add(64)) < n) {
+                size_t hi = i + 64 < n ? i + 64 : n;
+                for (size_t r = i; r < hi; r++) {
+                    const Rec& rec = ps.recs[r];
+                    size_t cnt = 0;
+                    for (size_t p = rec.seq_beg; p < rec.seq_end; p++) {
+                        uint8_t c = b.data[p];
+                        cnt += (c != '\n' && c != '\r');
+                    }
+                    seqlen[r] = cnt;
+                    namelen[r] = rec.name_end - rec.name_beg;
+                }
+            }
+        };
+        for (int t = 0; t < T; t++) th.emplace_back(work);
+        for (auto& t : th) t.join();
+    }
+    size_t total = 0, ntotal = 0;
+    for (size_t r = 0; r < n; r++) {
+        out->rec_off[r] = (int64_t)total;
+        out->name_off[r] = (int64_t)ntotal;
+        total += seqlen[r];
+        ntotal += namelen[r] + 1;
+    }
+    out->rec_off[n] = (int64_t)total;
+    out->name_off[n] = (int64_t)ntotal;
+    out->total_len = (int64_t)total;
+    out->codes = (uint8_t*)std::malloc(total ? total : 1);
+    out->names = (char*)std::malloc(ntotal ? ntotal : 1);
+
+    {
+        std::vector<std::thread> th;
+        std::atomic<size_t> next{0};
+        int T = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
+        auto work = [&]() {
+            size_t i;
+            while ((i = next.fetch_add(64)) < n) {
+                size_t hi = i + 64 < n ? i + 64 : n;
+                for (size_t r = i; r < hi; r++) {
+                    const Rec& rec = ps.recs[r];
+                    uint8_t* dst = out->codes + out->rec_off[r];
+                    for (size_t p = rec.seq_beg; p < rec.seq_end; p++) {
+                        uint8_t c = b.data[p];
+                        if (c != '\n' && c != '\r') *dst++ = g_code[c];
+                    }
+                    char* nd = out->names + out->name_off[r];
+                    std::memcpy(nd, b.data + rec.name_beg, namelen[r]);
+                    nd[namelen[r]] = '\0';
+                }
+            }
+        };
+        for (int t = 0; t < T; t++) th.emplace_back(work);
+        for (auto& t : th) t.join();
+    }
+    unload(b);
+    return 0;
+}
+
+void fx_free(FxResult* r) {
+    std::free(r->codes);
+    std::free(r->rec_off);
+    std::free(r->names);
+    std::free(r->name_off);
+    r->codes = nullptr;
+}
+
+}  // extern "C"

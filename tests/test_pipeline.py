@@ -30,7 +30,7 @@ def reads(genome):
 class TestIndexBuild:
     def test_matches_oracle_index(self, genome):
         """Windowed device extraction + sort/dedup == oracle whole-contig dict index."""
-        index, meta = build_index(genome, P)
+        index, meta = build_index(genome, P, backend="sorted")
         oidx = o.build_index([o.encode(s) for _, s in genome], P)
         # oracle unique entries
         want = {}
@@ -52,11 +52,42 @@ class TestIndexBuild:
         assert got == want
 
     def test_sorted_unique(self, genome):
-        index, _ = build_index(genome, P)
+        index, _ = build_index(genome, P, backend="sorted")
         h1 = np.asarray(index.h1, dtype=np.uint64)
         h2 = np.asarray(index.h2, dtype=np.uint64)
         keys = (h1 << 32) | h2
         assert (np.diff(keys.astype(np.int64)) > 0).all() or keys.shape[0] < 2
+
+
+class TestHashIndex:
+    def test_probe_equals_sorted_backend(self, genome):
+        """Two-choice hash table returns identical probe results to binary search."""
+        import jax.numpy as jnp
+        from mapquik_tpu.index.lookup import probe
+        from mapquik_tpu.index.hashtable import probe_hash
+
+        sorted_idx, _ = build_index(genome, P, backend="sorted")
+        hash_idx, _ = build_index(genome, P, backend="hash")
+        assert hash_idx.n == sorted_idx.n > 0
+        rng = np.random.default_rng(0)
+        # half real keys, half random (mostly misses)
+        nq = 512
+        take = rng.integers(0, sorted_idx.n, nq // 2)
+        qh1 = np.concatenate([
+            np.asarray(sorted_idx.h1)[take],
+            rng.integers(0, 2**32, nq // 2, dtype=np.uint32),
+        ]).reshape(2, -1)
+        qh2 = np.concatenate([
+            np.asarray(sorted_idx.h2)[take],
+            rng.integers(0, 2**32, nq // 2, dtype=np.uint32),
+        ]).reshape(2, -1)
+        ps = probe(sorted_idx, jnp.asarray(qh1), jnp.asarray(qh2))
+        ph = probe_hash(hash_idx, jnp.asarray(qh1), jnp.asarray(qh2))
+        np.testing.assert_array_equal(np.asarray(ps.hit), np.asarray(ph.hit))
+        assert np.asarray(ps.hit)[0].all()
+        hit = np.asarray(ps.hit)
+        for a, b in zip(ps[1:], ph[1:]):
+            np.testing.assert_array_equal(np.asarray(a)[hit], np.asarray(b)[hit])
 
 
 class TestPipelineVsOracle:
