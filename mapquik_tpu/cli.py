@@ -50,6 +50,16 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="padded read length cap (longer reads truncated)")
     ap.add_argument("--fix-check-bug", action="store_true",
                     help="use fixed match-extension semantics instead of reference parity")
+    ap.add_argument("--read-stats", action="store_true",
+                    help="write per-read candidate-locus counts to {prefix}.read_stats "
+                         "(reference stats module, src/stats.rs)")
+    ap.add_argument("--save-index", default=None, metavar="FILE.npz",
+                    help="serialize the built index and exit-less continue")
+    ap.add_argument("--load-index", default=None, metavar="FILE.npz",
+                    help="load a previously saved index instead of building")
+    ap.add_argument("--shard", default=None, metavar="I/N",
+                    help="map only byte-range shard I of N of the reads file "
+                         "(multi-host input sharding; uncompressed inputs only)")
     return ap
 
 
@@ -87,23 +97,50 @@ def main(argv=None) -> int:
     print(f"Reference file: {args.reference}")
     print("Using HPC ntHash, TPU kernels" if p.use_hpc else "Using regular ntHash (not HPC), TPU kernels")
 
-    contigs = list(fastx.iter_fastx(args.reference))
     ti = time.time()
+    if args.shard:
+        shard_i, shard_n = (int(x) for x in args.shard.split("/"))
+        from .io.shard import iter_fastx_shard
+
+        read_iter = lambda: iter_fastx_shard(args.reads, shard_i, shard_n)
+        prefix = f"{prefix}.shard{shard_i}of{shard_n}"
+    else:
+        read_iter = lambda: fastx.iter_fastx(args.reads)
     if args.backend == "jax":
         from .ops.pipeline import Mapper
 
-        mapper = Mapper(contigs, p)
-        n_unique = mapper.n_unique
-        print(f"Indexed {n_unique} unique k-min-mers in {time.time()-ti:.2f}s.")
+        if args.load_index:
+            from .index.serialize import load_index, params_key
+
+            index, meta = load_index(args.load_index, params_key(p))
+            mapper = Mapper.from_index(index, meta, p)
+            print(f"Loaded index ({mapper.n_unique} unique k-min-mers) in {time.time()-ti:.2f}s.")
+        else:
+            contigs = list(fastx.iter_fastx(args.reference))
+            mapper = Mapper(contigs, p)
+            print(f"Indexed {mapper.n_unique} unique k-min-mers in {time.time()-ti:.2f}s.")
+        if args.save_index:
+            from .index.serialize import params_key, save_index
+
+            save_index(args.save_index, mapper.index, mapper.meta, params_key(p))
+            print(f"Saved index to {args.save_index}.")
+        stats = None
+        if args.read_stats:
+            from .ops.stats import StatsWriter
+
+            stats = StatsWriter(prefix)
         tq = time.time()
         n_lines = 0
         with open(prefix + ".paf", "w") as out:
-            for line in mapper.map_reads(fastx.iter_fastx(args.reads)):
+            for line in mapper.map_reads(read_iter(), stats=stats):
                 out.write(line + "\n")
                 n_lines += 1
+        if stats is not None:
+            stats.close()
     else:
         from .oracle import pyref
 
+        contigs = list(fastx.iter_fastx(args.reference))
         codes = [pyref.encode(s) for _, s in contigs]
         idx = pyref.build_index(codes, p)
         refs = [pyref.RefInfo(nm, len(s)) for nm, s in contigs]
@@ -111,7 +148,7 @@ def main(argv=None) -> int:
         tq = time.time()
         n_lines = 0
         with open(prefix + ".paf", "w") as out:
-            for name, seq in fastx.iter_fastx(args.reads):
+            for name, seq in read_iter():
                 line = pyref.map_read(name, pyref.encode(seq), idx, refs, p)
                 if line:
                     out.write(line + "\n")

@@ -1,0 +1,63 @@
+"""Index checkpointing: save/load the built reference index to a single .npz.
+
+The reference has no on-disk index format — it rebuilds from FASTA each run
+(SURVEY.md §5, "Checkpoint / resume: none"). This adds the minimap2-.mmi-style
+capability the reference lacks: `mapquik-tpu --save-index idx.npz` once, then
+`--load-index idx.npz` skips the index build entirely. Parity does not depend on it.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .build import RefMeta
+from .hashtable import HashIndex
+from .lookup import RefIndex
+
+_FORMAT_VERSION = 1
+
+
+def save_index(path: str, index, meta: RefMeta, params_key: str = "") -> None:
+    """Serialize a HashIndex or RefIndex plus reference metadata."""
+    if isinstance(index, HashIndex):
+        kind = "hash"
+    elif isinstance(index, RefIndex):
+        kind = "sorted"
+    else:
+        raise TypeError(f"unknown index type {type(index)!r}")
+    cols = {f"col_{name}": np.asarray(v) for name, v in index._asdict().items()}
+    np.savez_compressed(
+        path,
+        version=np.int64(_FORMAT_VERSION),
+        kind=kind,
+        params_key=params_key,
+        names=np.asarray(meta.names, dtype=object),
+        lengths=meta.lengths,
+        **cols,
+    )
+
+
+def load_index(path: str, expect_params_key: str = "") -> Tuple[object, RefMeta]:
+    """Load an index saved by save_index. Raises on version/params mismatch."""
+    z = np.load(path, allow_pickle=True)
+    if int(z["version"]) != _FORMAT_VERSION:
+        raise ValueError(f"index format version {int(z['version'])} unsupported")
+    saved_key = str(z["params_key"])
+    if expect_params_key and saved_key and saved_key != expect_params_key:
+        raise ValueError(
+            f"index was built with params {saved_key!r}, run requests "
+            f"{expect_params_key!r} — rebuild or drop --load-index"
+        )
+    meta = RefMeta(names=[str(n) for n in z["names"]], lengths=z["lengths"])
+    kind = str(z["kind"])
+    cls = HashIndex if kind == "hash" else RefIndex
+    cols = {name: jnp.asarray(z[f"col_{name}"]) for name in cls._fields}
+    return cls(**cols), meta
+
+
+def params_key(p) -> str:
+    """Semantic-parameter fingerprint for index compatibility checks."""
+    return f"k{p.k}-l{p.l}-d{p.density:g}-hpc{int(p.use_hpc)}"

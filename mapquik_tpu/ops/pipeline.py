@@ -88,12 +88,25 @@ class Mapper:
         self.index, self.meta = build_index(contigs, p)
         self.ref_lens = jnp.asarray(self.meta.lengths.astype(np.int32))
 
+    @classmethod
+    def from_index(cls, index, meta: RefMeta, p: Params) -> "Mapper":
+        """Construct around a prebuilt/deserialized index (see index.serialize)."""
+        self = cls.__new__(cls)
+        self.p = p
+        self.index = index
+        self.meta = meta
+        self.ref_lens = jnp.asarray(meta.lengths.astype(np.int32))
+        return self
+
     @property
     def n_unique(self) -> int:
         return self.index.n
 
     def map_reads(
-        self, reads: Iterable[Tuple[str, bytes]], batch_size: Optional[int] = None
+        self,
+        reads: Iterable[Tuple[str, bytes]],
+        batch_size: Optional[int] = None,
+        stats=None,
     ) -> Iterator[str]:
         """Yield PAF lines (reads in input order; unmapped reads skipped)."""
         p = self.p
@@ -106,14 +119,14 @@ class Mapper:
             nonlocal names, lens, buf
             if not names:
                 return []
-            res = map_batch(
-                jnp.asarray(buf),
-                jnp.asarray(np.asarray(lens + [0] * (B - len(lens)), dtype=np.int32)),
-                self.index,
-                self.ref_lens,
-                p,
-                p.max_minimizers,
-            )
+            codes_d = jnp.asarray(buf)
+            lens_d = jnp.asarray(np.asarray(lens + [0] * (B - len(lens)), dtype=np.int32))
+            res = map_batch(codes_d, lens_d, self.index, self.ref_lens, p, p.max_minimizers)
+            if stats is not None:
+                from .stats import read_stats_batch
+
+                loci = read_stats_batch(codes_d, lens_d, self.index, p, p.max_minimizers)
+                stats.write_batch(names, loci[: len(names)])
             lines = format_paf(names, lens, res, self.meta)
             names, lens = [], []
             buf = np.full((B, p.max_read_len), 4, dtype=np.uint8)
