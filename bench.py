@@ -19,6 +19,13 @@ import time
 import numpy as np
 
 
+def log(msg):
+    print(f"[bench +{time.time() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+T0 = time.time()
+
+
 def main():
     t_start = time.time()
     import jax
@@ -39,13 +46,16 @@ def main():
         max_read_len=1 << 15, max_minimizers=1 << 9, batch_size=B,
     )
 
+    log(f"device {jax.devices()[0]}; genome {genome_mb}MB, {n_reads} reads, B={B}")
     genome = markov_genome(genome_mb * 1_000_000, seed=11, n_contigs=4)
     reads = simulate_reads(genome, n_reads, mean_len=24_000, accuracy=0.99, seed=12)
+    log("simulated genome+reads; building index")
 
     t0 = time.time()
-    index, meta = build_index(genome, p)
+    index, meta = build_index(genome, p, verbose=log)
     index = jax.tree.map(lambda x: jax.block_until_ready(x), index)
     index_s = time.time() - t0
+    log(f"index built: {index.n} k-min-mers in {index_s:.1f}s; packing batches")
 
     # pack all batches up front (host prep excluded from steady-state timing)
     L = p.max_read_len
@@ -64,8 +74,10 @@ def main():
     ref_lens = jnp.asarray(meta.lengths.astype(np.int32))
 
     # warmup/compile
+    log("compiling map_batch")
     res = map_batch(batches[0][0], batches[0][1], index, ref_lens, p, p.max_minimizers)
     jax.block_until_ready(res)
+    log("map_batch compiled; timing steady state")
 
     t0 = time.time()
     results = []

@@ -12,6 +12,7 @@ Usage: python -m mapquik_tpu.cli <reads.fq> --reference <ref.fa> [flags]
 from __future__ import annotations
 
 import argparse
+import os
 import resource
 import sys
 import time
@@ -60,6 +61,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--shard", default=None, metavar="I/N",
                     help="map only byte-range shard I of N of the reads file "
                          "(multi-host input sharding; uncompressed inputs only)")
+    ap.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                    help="force the JAX platform (default: environment's; this host's "
+                         "sitecustomize pins the TPU backend, so --platform cpu is the "
+                         "only reliable CPU override)")
     return ap
 
 
@@ -83,12 +88,19 @@ def params_from_args(args) -> Params:
         kw["batch_size"] = 64
     if args.max_read_len:
         kw["max_read_len"] = 1 << (args.max_read_len - 1).bit_length()
-    return Params(**kw)
+    # capacity knobs derived from density/lengths so no seed cap ever clips
+    return Params.auto(**kw)
 
 
 def main(argv=None) -> int:
     t0 = time.time()
     args = build_argparser().parse_args(argv)
+    platform = args.platform or os.environ.get("MAPQUIK_PLATFORM")
+    if platform == "cpu":
+        # must run before the JAX backend initializes (env alone is overridden here)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     p = params_from_args(args)
     prefix = args.prefix or default_output_prefix(p)
     if args.prefix is None:

@@ -65,13 +65,15 @@ def plan_windows(codes: np.ndarray, p: Params) -> List[Tuple[int, int, int]]:
 
 
 def extract_contig_kminmers(
-    codes: np.ndarray, p: Params, batch_windows: int = 32
+    codes: np.ndarray, p: Params, batch_windows: int = 32, verbose=None
 ) -> Tuple[np.ndarray, ...]:
     """All k-min-mers of one contig as host arrays (h1, h2, start, end, offset, rev),
     ordered and numbered exactly as whole-contig extraction."""
     import jax.numpy as jnp
 
     wins = plan_windows(codes, p)
+    if verbose:
+        verbose(f"extracting contig ({codes.shape[0]} bp, {len(wins)} windows)")
     if not wins:
         z32 = np.zeros(0, dtype=np.uint32)
         zi = np.zeros(0, dtype=np.int64)
@@ -88,8 +90,16 @@ def extract_contig_kminmers(
         for bi, (cs, _, se) in enumerate(chunk):
             arr[bi, : se - cs] = codes[cs:se]
             lens[bi] = se - cs
-        sb = seed_batch(jnp.asarray(arr), jnp.asarray(lens), p, cap)
-        h1, h2, st, en, rv, n = (np.asarray(x) for x in sb)
+        bcap = cap
+        while True:
+            sb = seed_batch(jnp.asarray(arr), jnp.asarray(lens), p, bcap)
+            if not bool(np.asarray(sb.overflow).any()):
+                break
+            # cap clipped a window (possible when density far exceeds the params'
+            # sizing assumptions) — retry this batch with a doubled cap; exactness
+            # beats the recompile cost of a rare event
+            bcap *= 2
+        h1, h2, st, en, rv, n, _ = (np.asarray(x) for x in sb)
         for bi, (cs, ce, _) in enumerate(chunk):
             nk = int(n[bi])
             # owned = prefix with absolute start < core_end
@@ -118,6 +128,7 @@ def build_index(
     p: Params,
     batch_windows: int = 32,
     backend: str = "hash",
+    verbose=None,
 ) -> Tuple[object, RefMeta]:
     """Full reference index from (name, seq) contigs. Returns (index, metadata).
 
@@ -133,7 +144,7 @@ def build_index(
         names.append(name)
         codes = encode(seq) if not isinstance(seq, np.ndarray) else seq
         lengths.append(codes.shape[0])
-        h1, h2, st, en, off, rv = extract_contig_kminmers(codes, p, batch_windows)
+        h1, h2, st, en, off, rv = extract_contig_kminmers(codes, p, batch_windows, verbose)
         cols["h1"].append(h1)
         cols["h2"].append(h2)
         cols["rid"].append(np.full(h1.shape[0], rid, dtype=np.int64))

@@ -43,6 +43,8 @@ class MapResult(NamedTuple):
     r_end: jax.Array    # int32 [B]
     score: jax.Array    # int32 [B]
     mapq: jax.Array     # int32 [B]
+    overflow: jax.Array = None  # bool [B]: seed cap clipped this read (exactness
+                                # not guaranteed; host should warn/requeue)
 
 
 def _seg_scatter(op: str, vals, seg, valid, init):

@@ -52,29 +52,47 @@ def find_matches(sb: SeedBatch, pr: ProbeResult, p: Params) -> MatchBatch:
     hit = pr.hit & in_seq
     rc_new = sb.rev != pr.rc  # strand of a Match starting at this position
 
-    def step(state, xs):
-        prev_hit, prev_eid, prev_eoff, seg_rc = state
-        hit_j, eid_j, eoff_j, rc_new_j = xs
-        if p.fix_check_bug:
-            link0 = (eid_j == prev_eid) & (~rc_new_j) & (eoff_j - prev_eoff == 1)
-        else:
-            # quirk: forward extension checks offset delta only (match.rs:39-43)
-            link0 = eoff_j - prev_eoff == 1
-        link1 = (eid_j == prev_eid) & rc_new_j & (prev_eoff - eoff_j == 1)
-        link = jnp.where(seg_rc, link1, link0)
-        head_j = hit_j & ~(prev_hit & link)
-        seg_rc_next = jnp.where(hit_j, jnp.where(head_j, rc_new_j, seg_rc), seg_rc)
-        return (hit_j, eid_j, eoff_j, seg_rc_next), head_j
+    # The reference walks k-min-mers sequentially carrying the current Match's strand
+    # (recursive Match::extend). The only genuinely sequential state is that ONE bit —
+    # seg_rc, the strand of the segment containing the previous position — so the
+    # whole pass is an associative composition of per-position 1-bit transition
+    # functions g_j: seg_rc -> seg_rc', encoded as the pair (g_j(0), g_j(1)) and
+    # combined in log depth. Everything else (link predicates, head recovery) is
+    # position-local.
+    prev_hit = jnp.concatenate([jnp.zeros((B, 1), bool), hit[:, :-1]], axis=1)
+    prev_eid = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), pr.rid[:, :-1]], axis=1)
+    prev_eoff = jnp.concatenate([jnp.full((B, 1), -2, jnp.int32), pr.offset[:, :-1]], axis=1)
+    if p.fix_check_bug:
+        link0 = (pr.rid == prev_eid) & (~rc_new) & (pr.offset - prev_eoff == 1)
+    else:
+        # quirk: forward extension checks offset delta only (match.rs:39-43)
+        link0 = pr.offset - prev_eoff == 1
+    link1 = (pr.rid == prev_eid) & rc_new & (prev_eoff - pr.offset == 1)
+    # head_j as a function of incoming seg_rc s: head(s) = hit & !(prev_hit & link_s)
+    head_if0 = hit & ~(prev_hit & link0)
+    head_if1 = hit & ~(prev_hit & link1)
+    # outgoing state: s' = hit ? (head(s) ? rc_new : s) : s
+    g0 = jnp.where(hit, jnp.where(head_if0, rc_new, False), False)
+    g1 = jnp.where(hit, jnp.where(head_if1, rc_new, True), True)
 
-    init = (
-        jnp.zeros(B, bool),
-        jnp.full(B, -1, jnp.int32),
-        jnp.full(B, -2, jnp.int32),
-        jnp.zeros(B, bool),
-    )
-    xs = (hit.T, pr.rid.T, pr.offset.T, rc_new.T)
-    _, head_t = jax.lax.scan(step, init, xs)
-    head = head_t.T
+    def compose(f0, f1, g0_, g1_):
+        # (g ∘ f): state s -> g(f(s)); f applied first (earlier positions)
+        return jnp.where(f0, g1_, g0_), jnp.where(f1, g1_, g0_)
+
+    # Hillis-Steele inclusive scan of the function composition (associativity is all
+    # it needs). Manual shift-scan, NOT lax.associative_scan — see seeding._prefix_xor
+    # for why (TPU compile-time blowup when scans fuse with sorts/gathers).
+    G0, G1 = g0, g1
+    s = 1
+    while s < M:
+        # prefix ending at i-s, padded with the identity function (f(0)=0, f(1)=1)
+        P0 = jnp.concatenate([jnp.zeros((B, s), bool), G0[:, :-s]], axis=1)
+        P1 = jnp.concatenate([jnp.ones((B, s), bool), G1[:, :-s]], axis=1)
+        G0, G1 = compose(P0, P1, G0, G1)
+        s *= 2
+    # state BEFORE position j = composition of g_1..g_{j-1} applied to s0 = 0
+    s_in = jnp.concatenate([jnp.zeros((B, 1), bool), G0[:, :-1]], axis=1)
+    head = jnp.where(s_in, head_if1, head_if0)
     hit_next = jnp.concatenate([hit[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
     head_next = jnp.concatenate([head[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
     last = hit & (~hit_next | head_next)

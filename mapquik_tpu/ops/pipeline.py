@@ -41,7 +41,7 @@ def map_batch(
         pr = probe(index, sb.h1, sb.h2)
     mb = find_matches(sb, pr, p)
     sel = chain_and_select(mb, p)
-    return project_coords(sel, lengths, ref_lens)
+    return project_coords(sel, lengths, ref_lens)._replace(overflow=sb.overflow)
 
 
 def format_paf(
@@ -122,6 +122,16 @@ class Mapper:
             codes_d = jnp.asarray(buf)
             lens_d = jnp.asarray(np.asarray(lens + [0] * (B - len(lens)), dtype=np.int32))
             res = map_batch(codes_d, lens_d, self.index, self.ref_lens, p, p.max_minimizers)
+            ovf = np.asarray(res.overflow)[: len(names)]
+            if ovf.any():
+                import sys
+
+                print(
+                    f"Warning: seed cap ({p.max_minimizers}) clipped "
+                    f"{int(ovf.sum())} read(s); raise max_minimizers or density-derived "
+                    f"caps (Params.auto) for exactness.",
+                    file=sys.stderr,
+                )
             if stats is not None:
                 from .stats import read_stats_batch
 

@@ -56,11 +56,37 @@ class Params:
         """
         return self.l + self.k - 1
 
+    @classmethod
+    def auto(cls, **kw) -> "Params":
+        """Params with capacity knobs derived from the semantic knobs.
+
+        The reference has no caps (SURVEY.md §7 hard part (b)); here the per-sequence
+        minimizer caps are sized so the Binomial(L, density) seed count exceeds them
+        with negligible probability (mean + 6σ + headroom, rounded up to a power of
+        two). Runtime overflow detection (SeedBatch.overflow) catches the residue."""
+        probe = cls(**kw)
+        if "max_minimizers" not in kw:
+            kw["max_minimizers"] = _seed_cap(probe.max_read_len, probe.density, probe.k)
+        if "ref_window_minimizers" not in kw:
+            kw["ref_window_minimizers"] = _seed_cap(
+                probe.ref_window + probe.ref_halo, probe.density, probe.k
+            )
+        return cls(**kw)
+
     @property
     def hash_threshold(self) -> int:
         """uint32 threshold for the density predicate."""
         t = int(self.density * 4294967296.0)
         return min(t, 0xFFFFFFFF)
+
+
+def _seed_cap(length: int, density: float, k: int) -> int:
+    """Power-of-two minimizer capacity covering mean + 6σ of Binomial(length, density)."""
+    import math
+
+    m = density * length
+    need = m + 6.0 * math.sqrt(max(m, 1.0)) + 16 + k
+    return max(64, 1 << math.ceil(math.log2(need)))
 
 
 def default_output_prefix(p: Params) -> str:

@@ -1,9 +1,10 @@
 """Runtime configuration: persistent XLA compilation cache + timers.
 
-This environment compiles TPU programs via a remote relay (minutes per large program),
-so the persistent cache is load-bearing: it makes CLI/bench startup near-instant after
-the first run. Safe to enable unconditionally — JAX keys entries by program hash,
-jaxlib version, and backend.
+The persistent cache is OPT-IN via MAPQUIK_JAX_CACHE=<dir> (or an explicit path
+argument): on this environment's tunneled-TPU backend, reading back cached TPU
+executables hangs the process indefinitely (measured: fresh-cache bench 76s total,
+populated-cache bench stuck >8min in deserialization), so it must not be on by
+default. On plain CPU/TPU backends it works normally and saves recompiles.
 """
 
 from __future__ import annotations
@@ -22,9 +23,9 @@ def enable_compilation_cache(path: str | None = None) -> None:
         return
     import jax
 
-    cache_dir = path or os.environ.get(
-        "MAPQUIK_JAX_CACHE", os.path.expanduser("~/.cache/mapquik_tpu/jax_cache")
-    )
+    cache_dir = path or os.environ.get("MAPQUIK_JAX_CACHE")
+    if not cache_dir:
+        return
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

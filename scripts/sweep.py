@@ -1,0 +1,109 @@
+"""Parameter-sweep regression harness: k / l / d sensitivity on simulated reads.
+
+Port of the reference's sweep suite (experiments/figure-k-l/get_mapstats{,_d,_l}.sh —
+k in [2,14], l in [10,31], d in [0.005,0.020], capturing mapeval Q60-total/Q60-wrong
+plus map-phase runtime into CSVs). Runs on whatever device JAX selects (TPU when
+available, CPU otherwise — pass smaller --genome-mb on CPU).
+
+Usage:
+  python scripts/sweep.py --axis k --genome-mb 8 --reads 512 > k_perf.csv
+  python scripts/sweep.py --axis d ...
+  python scripts/sweep.py --axis l ...
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def run_one(p, genome, reads, B):
+    import jax
+    import jax.numpy as jnp
+
+    from mapquik_tpu.eval.mapeval import evaluate_paf
+    from mapquik_tpu.index.build import build_index
+    from mapquik_tpu.ops.pipeline import format_paf, map_batch
+    from mapquik_tpu.oracle.pyref import encode
+
+    t0 = time.time()
+    index, meta = build_index(genome, p)
+    jax.block_until_ready(index.k1 if hasattr(index, "k1") else index.h1)
+    index_s = time.time() - t0
+    ref_lens = jnp.asarray(meta.lengths.astype(np.int32))
+
+    L = p.max_read_len
+    batches = []
+    for i in range(0, len(reads), B):
+        chunk = reads[i : i + B]
+        codes = np.full((B, L), 4, np.uint8)
+        lens = np.zeros(B, np.int32)
+        nm = []
+        for j, (name, seq) in enumerate(chunk):
+            c = encode(seq)[:L]
+            codes[j, : len(c)] = c
+            lens[j] = len(c)
+            nm.append(name)
+        batches.append((jnp.asarray(codes), jnp.asarray(lens), nm))
+
+    r = map_batch(*batches[0][:2], index, ref_lens, p, p.max_minimizers)
+    jax.block_until_ready(r)
+    t0 = time.time()
+    results = [map_batch(c, l, index, ref_lens, p, p.max_minimizers) for c, l, _ in batches]
+    jax.block_until_ready(results)
+    map_s = time.time() - t0
+
+    paf = []
+    for (codes, lens, nm), res in zip(batches, results):
+        paf.extend(format_paf(nm, [int(x) for x in np.asarray(lens)], res, meta))
+    ev = evaluate_paf(paf, n_reads=len(reads))
+    return index_s, map_s, ev
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--axis", choices=["k", "l", "d"], required=True)
+    ap.add_argument("--genome-mb", type=int, default=8)
+    ap.add_argument("--reads", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--mean-len", type=int, default=24_000)
+    args = ap.parse_args()
+
+    from mapquik_tpu.eval.simulate import markov_genome, simulate_reads
+    from mapquik_tpu.params import Params
+
+    genome = markov_genome(args.genome_mb * 1_000_000, seed=11, n_contigs=4)
+    reads = simulate_reads(genome, args.reads, mean_len=args.mean_len, accuracy=0.99, seed=12)
+
+    sweeps = {
+        # reference ranges: get_mapstats.sh k in [2,14]; _l.sh l in [10,31]; _d.sh d in [0.005,0.02]
+        "k": [("k", k) for k in range(2, 15)],
+        "l": [("l", l) for l in range(10, 32, 3)],
+        "d": [("density", d) for d in (0.005, 0.0075, 0.01, 0.0125, 0.015, 0.02)],
+    }[args.axis]
+
+    print("axis,value,index_s,map_s,reads_per_s,mapped,q60,q60_wrong,wrong")
+    for field, val in sweeps:
+        p = Params(
+            **{field: val},
+            max_read_len=1 << 15,
+            max_minimizers=1 << 9,
+            batch_size=args.batch,
+        )
+        try:
+            index_s, map_s, ev = run_one(p, genome, reads, args.batch)
+        except Exception as e:  # keep the sweep going; record the failure
+            print(f"{args.axis},{val},ERROR,{type(e).__name__},,,,,", flush=True)
+            continue
+        print(
+            f"{args.axis},{val},{index_s:.2f},{map_s:.3f},{len(reads)/map_s:.0f},"
+            f"{ev.n_mapped},{ev.q60_total},{ev.q60_wrong},{ev.n_wrong}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
