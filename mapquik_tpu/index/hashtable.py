@@ -29,24 +29,22 @@ _EMPTY = np.uint32(0xFFFFFFFF)
 
 
 class HashIndex(NamedTuple):
-    k1: jax.Array      # uint32 [S, 8] slot keys (h1)
-    k2: jax.Array      # uint32 [S, 8] slot keys (h2)
-    rid: jax.Array     # int32  [S*8]
-    start: jax.Array   # int32  [S*8]
-    end: jax.Array     # int32  [S*8]
-    offset: jax.Array  # int32  [S*8]
-    rc: jax.Array      # bool   [S*8]
+    """Stacked storage layout: separate gathers cost ~1.4ms each on v5e regardless
+    of width, so a probe reads keys as one [8, 2] row per choice and the payload as
+    one 5-int row — 3 gathers total."""
+
+    keys: jax.Array     # uint32 [S, 8, 2] slot keys (h1, h2)
+    payload: jax.Array  # int32  [S*8, 5]  (rid, start, end, offset, rc)
 
     @property
     def n_buckets(self) -> int:
-        return self.k1.shape[0]
+        return self.keys.shape[0]
 
     @property
     def n(self) -> int:
         """Stored key count (host-side count of non-sentinel slots)."""
-        k1 = np.asarray(self.k1).reshape(-1)
-        k2 = np.asarray(self.k2).reshape(-1)
-        return int((~((k1 == _EMPTY) & (k2 == _EMPTY))).sum())
+        k = np.asarray(self.keys).reshape(-1, 2)
+        return int((~((k[:, 0] == _EMPTY) & (k[:, 1] == _EMPTY))).sum())
 
 
 def _buckets(h1: np.ndarray, h2: np.ndarray, mask: int):
@@ -74,28 +72,18 @@ def build_hash_index(
         if placed_slot is not None:
             break
         S *= 2
-    k1 = np.full(S * BUCKET, _EMPTY, dtype=np.uint32)
-    k2 = np.full(S * BUCKET, _EMPTY, dtype=np.uint32)
-    prid = np.zeros(S * BUCKET, dtype=np.int32)
-    pstart = np.zeros(S * BUCKET, dtype=np.int32)
-    pend = np.zeros(S * BUCKET, dtype=np.int32)
-    poffset = np.zeros(S * BUCKET, dtype=np.int32)
-    prc = np.zeros(S * BUCKET, dtype=bool)
-    k1[placed_slot] = h1
-    k2[placed_slot] = h2
-    prid[placed_slot] = rid
-    pstart[placed_slot] = start
-    pend[placed_slot] = end
-    poffset[placed_slot] = offset
-    prc[placed_slot] = rc
+    keys = np.full((S * BUCKET, 2), _EMPTY, dtype=np.uint32)
+    payload = np.zeros((S * BUCKET, 5), dtype=np.int32)
+    keys[placed_slot, 0] = h1
+    keys[placed_slot, 1] = h2
+    payload[placed_slot, 0] = rid
+    payload[placed_slot, 1] = start
+    payload[placed_slot, 2] = end
+    payload[placed_slot, 3] = offset
+    payload[placed_slot, 4] = rc
     return HashIndex(
-        k1=jnp.asarray(k1.reshape(S, BUCKET)),
-        k2=jnp.asarray(k2.reshape(S, BUCKET)),
-        rid=jnp.asarray(prid),
-        start=jnp.asarray(pstart),
-        end=jnp.asarray(pend),
-        offset=jnp.asarray(poffset),
-        rc=jnp.asarray(prc),
+        keys=jnp.asarray(keys.reshape(S, BUCKET, 2)),
+        payload=jnp.asarray(payload),
     )
 
 
@@ -128,18 +116,17 @@ def _try_place(h1: np.ndarray, h2: np.ndarray, S: int):
 
 
 def probe_hash(index: HashIndex, qh1: jax.Array, qh2: jax.Array) -> ProbeResult:
-    """Constant-depth lookup: 2 bucket row-gathers + payload gathers."""
+    """Constant-depth lookup: 2 stacked bucket row-gathers + 1 stacked payload gather."""
+    keys, payload = index.keys, index.payload
     mask = np.uint32(index.n_buckets - 1)
     b1 = (qh1 & mask).astype(jnp.int32)
     b2 = ((qh2 ^ (qh1 >> 16)) & mask).astype(jnp.int32)
-    r1k1 = index.k1[b1]          # [..., 8]
-    r1k2 = index.k2[b1]
-    r2k1 = index.k1[b2]
-    r2k2 = index.k2[b2]
+    r1 = keys[b1]                # [..., 8, 2]
+    r2 = keys[b2]
     q1 = qh1[..., None]
     q2 = qh2[..., None]
-    m1 = (r1k1 == q1) & (r1k2 == q2)
-    m2 = (r2k1 == q1) & (r2k2 == q2)
+    m1 = (r1[..., 0] == q1) & (r1[..., 1] == q2)
+    m2 = (r2[..., 0] == q1) & (r2[..., 1] == q2)
     hit = jnp.any(m1, axis=-1) | jnp.any(m2, axis=-1)
     lane = jnp.arange(BUCKET, dtype=jnp.int32)
     flat1 = b1[..., None] * BUCKET + lane
@@ -150,12 +137,12 @@ def probe_hash(index: HashIndex, qh1: jax.Array, qh2: jax.Array) -> ProbeResult:
         ),
         axis=-1,
     )
-    slot_c = jnp.maximum(slot, 0)
+    pay = payload[jnp.maximum(slot, 0)]  # [..., 5]
     return ProbeResult(
         hit=hit,
-        rid=index.rid[slot_c],
-        start=index.start[slot_c],
-        end=index.end[slot_c],
-        offset=index.offset[slot_c],
-        rc=index.rc[slot_c],
+        rid=pay[..., 0],
+        start=pay[..., 1],
+        end=pay[..., 2],
+        offset=pay[..., 3],
+        rc=pay[..., 4].astype(bool),
     )

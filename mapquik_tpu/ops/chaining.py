@@ -27,6 +27,7 @@ import numpy as np
 
 from ..params import Params
 from .matching import MatchBatch
+from .seeding import _compact_positions
 
 _BIG_I32 = np.int32(0x7FFFFFFF)
 
@@ -47,14 +48,44 @@ class MapResult(NamedTuple):
                                 # not guaranteed; host should warn/requeue)
 
 
-def _seg_scatter(op: str, vals, seg, valid, init):
-    """Per-(read, segment) reduction: returns [B, M] array indexed by segment id."""
+def _seg_prefix(vals: jax.Array, head: jax.Array, op, identity) -> jax.Array:
+    """Segmented inclusive prefix reduction along axis 1 over contiguous segments
+    whose starts are marked by `head`. Log-depth shift-scan of (value, boundary)
+    pairs: (vA,fA)+(vB,fB) = (fB ? vB : op(vA,vB), fA|fB). Scatters cost ~6ms each
+    on v5e while elementwise shifts are ~free (measured), so all segment reductions
+    here are scan+gather based."""
     B, M = vals.shape
-    row = jnp.arange(B, dtype=jnp.int32)[:, None] * M
-    flat = jnp.where(valid, row + seg, np.int32(B * M))
-    out = jnp.full((B * M,), init, dtype=vals.dtype)
-    updater = getattr(out.at[flat.reshape(-1)], op)
-    return updater(vals.reshape(-1), mode="drop").reshape(B, M)
+    v, f = vals, head
+    s = 1
+    while s < M:
+        pv = jnp.concatenate([jnp.full((B, s), identity, v.dtype), v[:, :-s]], axis=1)
+        pf = jnp.concatenate([jnp.zeros((B, s), bool), f[:, :-s]], axis=1)
+        v = jnp.where(f, v, op(pv, v))
+        f = f | pf
+        s *= 2
+    return v
+
+
+def _seg_end(valid: jax.Array, head: jax.Array) -> jax.Array:
+    """Per-element index of the LAST element of its segment (suffix analog)."""
+    B, M = valid.shape
+    idx = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+    # element i is a segment end if next is a head / invalid / last slot
+    nhead = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+    nvalid = jnp.concatenate([valid[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
+    is_end = valid & (nhead | ~nvalid)
+    # nearest end at-or-right-of each element ("first true to the right"): the own
+    # segment's end always precedes any later segment's, so nearest is correct.
+    v = jnp.where(is_end, idx, np.int32(-1))
+    f = is_end
+    s = 1
+    while s < M:
+        nv = jnp.concatenate([v[:, s:], jnp.full((B, s), -1, jnp.int32)], axis=1)
+        nf = jnp.concatenate([f[:, s:], jnp.zeros((B, s), bool)], axis=1)
+        v = jnp.where(f, v, nv)
+        f = f | nf
+        s *= 2
+    return v
 
 
 def chain_and_select(mb: MatchBatch, p: Params) -> tuple:
@@ -74,20 +105,24 @@ def chain_and_select(mb: MatchBatch, p: Params) -> tuple:
 
     prev_bucket = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), bucket[:, :-1]], axis=1)
     bhead = valid & (bucket != prev_bucket)
-    seg = jnp.cumsum(bhead.astype(jnp.int32), axis=1) - 1
     nb = jnp.sum(bhead.astype(jnp.int32), axis=1)
+    # per-element index of its bucket's last element: whole-segment reductions are
+    # (segmented prefix scan) gathered at the segment end — no scatters anywhere
+    # (a single [B, M] scatter costs ~6ms on v5e; these scans are ~30us)
+    send_e = jnp.clip(_seg_end(valid, bhead), 0, M - 1)
+    gend = lambda a: jnp.take_along_axis(a, send_e, axis=1)
 
     # --- 2. anchor per bucket: max count, earliest position on ties ---
+    # key encodes (count, M - idx); the unique segment max IS the anchor and its
+    # position decodes from the key value
     key = count * np.int32(M + 1) + (np.int32(M) - idx)  # count-major, early-idx tiebreak
-    kmax = _seg_scatter("max", key, seg, valid, np.int32(-1))
-    kmax_g = jnp.take_along_axis(kmax, jnp.maximum(seg, 0), axis=1)
-    apos = _seg_scatter(
-        "max", jnp.where(valid & (key == kmax_g), idx, -1), seg, valid, np.int32(-1)
-    )
-    apos_g = jnp.take_along_axis(apos, jnp.maximum(seg, 0), axis=1)
-    ga = lambda a: jnp.take_along_axis(a, jnp.maximum(apos_g, 0), axis=1)
-    a_count, a_qs, a_qe, a_rs, a_re = ga(count), ga(q_s), ga(q_e), ga(r_s), ga(r_e)
-    a_rc = jnp.take_along_axis(rc, jnp.maximum(apos_g, 0), axis=1)
+    kmax_g = gend(_seg_prefix(jnp.where(valid, key, -1), bhead, jnp.maximum, np.int32(-1)))
+    apos_g = np.int32(M) - (kmax_g % np.int32(M + 1))
+    # anchor fields: one stacked gather (separate gathers cost ~1.4ms each on v5e)
+    elem_fields = jnp.stack([count, q_s, q_e, r_s, r_e, rc.astype(jnp.int32)], axis=-1)
+    anc = jnp.take_along_axis(elem_fields, jnp.maximum(apos_g, 0)[:, :, None], axis=1)
+    a_count, a_qs, a_qe, a_rs, a_re = (anc[:, :, i] for i in range(5))
+    a_rc = anc[:, :, 5].astype(bool)
 
     # --- compatibility with the anchor (chain.rs:43-63) ---
     eq = (
@@ -111,21 +146,37 @@ def chain_and_select(mb: MatchBatch, p: Params) -> tuple:
     compat = eq | (same_strand & jnp.where(u_rc, ok_rc, ok_fwd))
     surv = valid & compat
 
-    # --- 3. per-bucket chain stats over survivors ---
-    score = _seg_scatter("add", jnp.where(surv, count, 0), seg, valid, np.int32(0))
-    lenf = _seg_scatter("add", surv.astype(jnp.int32), seg, valid, np.int32(0))
-    fpos = _seg_scatter("min", jnp.where(surv, idx, _BIG_I32), seg, valid, _BIG_I32)
-    lpos = _seg_scatter("max", jnp.where(surv, idx, -1), seg, valid, np.int32(-1))
-    # bucket-slot arrays (slot b in [0, nb)): gather chain endpoints
-    gf = lambda a: jnp.take_along_axis(a, jnp.clip(fpos, 0, M - 1), axis=1)
-    gl = lambda a: jnp.take_along_axis(a, jnp.clip(lpos, 0, M - 1), axis=1)
-    c_rc = gf(rc)
+    # --- 3. per-bucket chain stats over survivors (scans + stacked gathers) ---
+    add = lambda a, b: a + b
+    stats = jnp.stack(
+        [
+            _seg_prefix(jnp.where(surv, count, 0), bhead, add, np.int32(0)),
+            _seg_prefix(surv.astype(jnp.int32), bhead, add, np.int32(0)),
+            _seg_prefix(jnp.where(surv, idx, _BIG_I32), bhead, jnp.minimum, _BIG_I32),
+            _seg_prefix(jnp.where(surv, idx, -1), bhead, jnp.maximum, np.int32(-1)),
+        ],
+        axis=-1,
+    )
+    # segment totals live at the segment end; compress straight to bucket-slot order
+    # (slot b = b-th bucket) by gathering at send_e[spos] — one stacked gather
+    spos, _ = _compact_positions(bhead, M)
+    end_of_slot = jnp.take_along_axis(send_e, spos, axis=1)
+    st = jnp.take_along_axis(stats, end_of_slot[:, :, None], axis=1)
+    score, lenf, fpos, lpos = (st[:, :, i] for i in range(4))
+    # chain endpoint fields: one stacked gather per endpoint
+    f_fields = jnp.stack(
+        [rc.astype(jnp.int32), q_s, r_s, r_e, bucket], axis=-1
+    )
+    ff = jnp.take_along_axis(f_fields, jnp.clip(fpos, 0, M - 1)[:, :, None], axis=1)
+    l_fields = jnp.stack([q_e, r_s, r_e], axis=-1)
+    lf = jnp.take_along_axis(l_fields, jnp.clip(lpos, 0, M - 1)[:, :, None], axis=1)
+    c_rc = ff[:, :, 0].astype(bool)
     use_rc_coords = c_rc & (lenf > 1)  # chain.rs:165-168
-    c_qs = gf(q_s)
-    c_qe = gl(q_e) - 1
-    c_rs = jnp.where(use_rc_coords, gl(r_s), gf(r_s))
-    c_re = jnp.where(use_rc_coords, gf(r_e), gl(r_e)) - 1
-    c_rid = gf(bucket)
+    c_qs = ff[:, :, 1]
+    c_qe = lf[:, :, 0] - 1
+    c_rs = jnp.where(use_rc_coords, lf[:, :, 1], ff[:, :, 2])
+    c_re = jnp.where(use_rc_coords, ff[:, :, 3], lf[:, :, 2]) - 1
+    c_rid = ff[:, :, 4]
     mapq_on = (p.s != 0) and (p.c != 0)
     c_mapq = jnp.where(
         mapq_on & ((lenf >= np.int32(p.c)) | (score >= np.int32(p.s))),
@@ -142,9 +193,12 @@ def chain_and_select(mb: MatchBatch, p: Params) -> tuple:
     max2 = jnp.max(masked, axis=1)
     mapped = (nb >= 1) & (max1 != max2)
 
-    gb = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
-    return (mapped, gb(c_rc), gb(c_qs), gb(c_qe), gb(c_rs), gb(c_re),
-            gb(score), gb(c_mapq), gb(c_rid))
+    out_fields = jnp.stack(
+        [c_rc.astype(jnp.int32), c_qs, c_qe, c_rs, c_re, score, c_mapq, c_rid], axis=-1
+    )
+    ob = jnp.take_along_axis(out_fields, best[:, None, None], axis=1)[:, 0]
+    return (mapped, ob[:, 0].astype(bool), ob[:, 1], ob[:, 2], ob[:, 3], ob[:, 4],
+            ob[:, 5], ob[:, 6], ob[:, 7])
 
 
 def project_coords(sel: tuple, q_len: jax.Array, ref_lens: jax.Array) -> MapResult:

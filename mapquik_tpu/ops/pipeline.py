@@ -142,10 +142,21 @@ class Mapper:
             buf = np.full((B, p.max_read_len), 4, dtype=np.uint8)
             return lines
 
+        n_truncated = 0
         for name, seq in reads:
             codes = encode(seq)
             L = codes.shape[0]
             if L > p.max_read_len:
+                if n_truncated == 0:
+                    import sys
+
+                    print(
+                        f"Warning: read {name} ({L} bp) exceeds max_read_len "
+                        f"({p.max_read_len}); truncating (raise --max-read-len for "
+                        f"full-length parity with the reference).",
+                        file=sys.stderr,
+                    )
+                n_truncated += 1
                 codes = codes[: p.max_read_len]
                 L = p.max_read_len
             buf[len(names), :L] = codes

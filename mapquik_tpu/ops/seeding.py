@@ -100,11 +100,14 @@ def hpc_compact(codes: jax.Array, lengths: jax.Array):
     prev = jnp.concatenate([jnp.full((B, 1), 255, dtype=codes.dtype), codes[:, :-1]], axis=1)
     keep = (codes != prev) & inb
     hpc_len = jnp.sum(keep.astype(jnp.int32), axis=1)
-    key = jnp.where(keep, pos, _BIG_I32)
-    skey, scodes = jax.lax.sort([key, codes.astype(jnp.int32)], num_keys=1, dimension=1)
+    # single-operand sort: key packs (position, code) into one int32 — positions are
+    # unique per row so the order equals position order (multi-operand sorts cost
+    # proportionally more HBM traffic at this width)
+    key = jnp.where(keep, (pos << 3) | codes.astype(jnp.int32), _BIG_I32)
+    skey = jax.lax.sort(key, dimension=1)
     valid = skey != _BIG_I32
-    hcodes = jnp.where(valid, scodes, np.int32(INVALID)).astype(jnp.uint8)
-    run_start = jnp.where(valid, skey, lengths[:, None].astype(jnp.int32))
+    hcodes = jnp.where(valid, skey & 7, np.int32(INVALID)).astype(jnp.uint8)
+    run_start = jnp.where(valid, skey >> 3, lengths[:, None].astype(jnp.int32))
     run_end = jnp.concatenate(
         [run_start[:, 1:], lengths[:, None].astype(jnp.int32)], axis=1
     )
@@ -180,10 +183,21 @@ def minimizers_batch(codes: jax.Array, lengths: jax.Array, p: Params, cap: int):
     canon, valid = nthash32_batch(hcodes, p.l)
     sel = valid & (canon < np.uint32(p.hash_threshold))
     mpos, mn = _compact_positions(sel, cap)
-    mhash = jnp.take_along_axis(canon, mpos, axis=1)
-    mstart = jnp.take_along_axis(run_start, mpos, axis=1)
-    # end of minimizer at hpc pos q is run_end[q + l - 1]; q + l - 1 < L by validity
-    mend = jnp.take_along_axis(run_end, jnp.minimum(mpos + (p.l - 1), codes.shape[1] - 1), axis=1)
+    # end of minimizer at hpc pos q is run_end[q + l - 1]: shift run_end left by l-1
+    # (static slice) so all three fields share mpos and ONE stacked gather suffices
+    # (each separate gather costs ~1.4ms on v5e regardless of width; stacked is one)
+    L = codes.shape[1]
+    run_end_s = jnp.concatenate(
+        [run_end[:, p.l - 1 :], jnp.broadcast_to(run_end[:, -1:], (run_end.shape[0], p.l - 1))],
+        axis=1,
+    )
+    fields = jnp.stack(
+        [canon.astype(jnp.int32), run_start, run_end_s], axis=-1
+    )  # [B, L, 3]
+    g = jnp.take_along_axis(fields, mpos[:, :, None], axis=1)  # [B, cap, 3]
+    mhash = g[:, :, 0].astype(jnp.uint32)
+    mstart = g[:, :, 1]
+    mend = g[:, :, 2]
     mn_true = jnp.sum(sel.astype(jnp.int32), axis=1)
     return mhash, mstart, mend, mn, mn_true
 

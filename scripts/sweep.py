@@ -31,7 +31,7 @@ def run_one(p, genome, reads, B):
 
     t0 = time.time()
     index, meta = build_index(genome, p)
-    jax.block_until_ready(index.k1 if hasattr(index, "k1") else index.h1)
+    jax.block_until_ready(index.keys if hasattr(index, "keys") else index.h1)
     index_s = time.time() - t0
     ref_lens = jnp.asarray(meta.lengths.astype(np.int32))
 
