@@ -117,7 +117,13 @@ def main(argv=None) -> int:
         read_iter = lambda: iter_fastx_shard(args.reads, shard_i, shard_n)
         prefix = f"{prefix}.shard{shard_i}of{shard_n}"
     else:
-        read_iter = lambda: fastx.iter_fastx(args.reads)
+        def read_iter():
+            # native C++ parser (mmap + zlib, pre-encoded codes) when available;
+            # pure-Python fallback otherwise (same record contract)
+            from .io import native
+
+            it = native.iter_records(args.reads)
+            return it if it is not None else fastx.iter_fastx(args.reads)
     if args.backend == "jax":
         from .ops.pipeline import Mapper
 

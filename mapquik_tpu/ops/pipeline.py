@@ -108,21 +108,40 @@ class Mapper:
         batch_size: Optional[int] = None,
         stats=None,
     ) -> Iterator[str]:
-        """Yield PAF lines (reads in input order; unmapped reads skipped)."""
+        """Yield PAF lines (reads in input order; unmapped reads skipped).
+
+        Double-buffered: each batch is dispatched asynchronously and finalized only
+        after the NEXT batch is enqueued, so host packing/PAF formatting overlaps
+        device compute (the reference overlaps via worker threads,
+        src/closures.rs:183-205; here JAX's async dispatch provides the pipeline).
+
+        A read's sequence may be bytes/str (encoded here) or a pre-encoded uint8
+        codes array (e.g. from the native parser, io/native.py)."""
         p = self.p
         B = batch_size or p.batch_size
         names: List[str] = []
         lens: List[int] = []
         buf = np.full((B, p.max_read_len), 4, dtype=np.uint8)
+        pending = None  # (names, lens, MapResult, loci or None)
 
-        def flush():
+        def dispatch():
             nonlocal names, lens, buf
-            if not names:
-                return []
             codes_d = jnp.asarray(buf)
             lens_d = jnp.asarray(np.asarray(lens + [0] * (B - len(lens)), dtype=np.int32))
             res = map_batch(codes_d, lens_d, self.index, self.ref_lens, p, p.max_minimizers)
-            ovf = np.asarray(res.overflow)[: len(names)]
+            loci = None
+            if stats is not None:
+                from .stats import read_stats_batch
+
+                loci = read_stats_batch(codes_d, lens_d, self.index, p, p.max_minimizers)
+            out = (names, lens, res, loci)
+            names, lens = [], []
+            buf = np.full((B, p.max_read_len), 4, dtype=np.uint8)
+            return out
+
+        def finalize(item):
+            f_names, f_lens, res, loci = item
+            ovf = np.asarray(res.overflow)[: len(f_names)]
             if ovf.any():
                 import sys
 
@@ -132,19 +151,13 @@ class Mapper:
                     f"caps (Params.auto) for exactness.",
                     file=sys.stderr,
                 )
-            if stats is not None:
-                from .stats import read_stats_batch
-
-                loci = read_stats_batch(codes_d, lens_d, self.index, p, p.max_minimizers)
-                stats.write_batch(names, loci[: len(names)])
-            lines = format_paf(names, lens, res, self.meta)
-            names, lens = [], []
-            buf = np.full((B, p.max_read_len), 4, dtype=np.uint8)
-            return lines
+            if loci is not None:
+                stats.write_batch(f_names, np.asarray(loci)[: len(f_names)])
+            return format_paf(f_names, f_lens, res, self.meta)
 
         n_truncated = 0
         for name, seq in reads:
-            codes = encode(seq)
+            codes = seq if isinstance(seq, np.ndarray) else encode(seq)
             L = codes.shape[0]
             if L > p.max_read_len:
                 if n_truncated == 0:
@@ -163,5 +176,14 @@ class Mapper:
             names.append(name)
             lens.append(L)
             if len(names) == B:
-                yield from flush()
-        yield from flush()
+                nxt = dispatch()
+                if pending is not None:
+                    yield from finalize(pending)
+                pending = nxt
+        if names:
+            nxt = dispatch()
+            if pending is not None:
+                yield from finalize(pending)
+            pending = nxt
+        if pending is not None:
+            yield from finalize(pending)

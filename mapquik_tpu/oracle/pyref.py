@@ -46,11 +46,15 @@ INVALID = 4
 
 
 def encode(seq: bytes | str | np.ndarray) -> np.ndarray:
-    """Encode a sequence to uint8 codes 0..4 (4 = non-ACGT)."""
+    """Encode a sequence to uint8 codes 0..4 (4 = non-ACGT).
+
+    An np.ndarray input is already-encoded codes (the contract used by the native
+    parser, io/native.py) and is returned unchanged."""
+    if isinstance(seq, np.ndarray):
+        return seq
     if isinstance(seq, str):
         seq = seq.encode()
-    arr = np.frombuffer(bytes(seq), dtype=np.uint8) if not isinstance(seq, np.ndarray) else seq
-    return _ENCODE_LUT[arr]
+    return _ENCODE_LUT[np.frombuffer(bytes(seq), dtype=np.uint8)]
 
 
 # ---------------------------------------------------------------------------
