@@ -65,7 +65,7 @@ def plan_windows(codes: np.ndarray, p: Params) -> List[Tuple[int, int, int]]:
 
 
 def extract_contig_kminmers(
-    codes: np.ndarray, p: Params, batch_windows: int = 32, verbose=None
+    codes: np.ndarray, p: Params, batch_windows: int = 256, verbose=None
 ) -> Tuple[np.ndarray, ...]:
     """All k-min-mers of one contig as host arrays (h1, h2, start, end, offset, rev),
     ordered and numbered exactly as whole-contig extraction."""
@@ -78,8 +78,14 @@ def extract_contig_kminmers(
         z32 = np.zeros(0, dtype=np.uint32)
         zi = np.zeros(0, dtype=np.int64)
         return z32, z32, zi, zi, zi, np.zeros(0, dtype=bool)
-    # pad L to a power of two and B to batch_windows to bound jit specializations
+    # pad L to a power of two and B to batch_windows to bound jit specializations;
+    # with default params L == p.max_read_len, so this is the same program shape
+    # as read mapping (one compile serves both)
     L = 1 << int(np.ceil(np.log2(max(64, max(se - cs for cs, _, se in wins)))))
+    L = max(L, min(p.max_read_len, 1 << 20))
+    # small genomes (tests, bacteria) round B down to the window count's power of
+    # two instead of padding to 256 rows of dead work
+    batch_windows = min(batch_windows, 1 << int(np.ceil(np.log2(len(wins)))))
     cap = p.ref_window_minimizers
     parts = []
     for i in range(0, len(wins), batch_windows):
@@ -126,7 +132,7 @@ def extract_contig_kminmers(
 def build_index(
     contigs: Sequence[Tuple[str, bytes]],
     p: Params,
-    batch_windows: int = 32,
+    batch_windows: int = 256,
     backend: str = "hash",
     verbose=None,
 ) -> Tuple[object, RefMeta]:

@@ -33,9 +33,14 @@ class Params:
     max_read_len: int = 1 << 15      # default padded read length bin ceiling
     max_minimizers: int = 1 << 9     # per-sequence minimizer cap (d*L ~ 330 for 32kb)
     batch_size: int = 256            # reads per device batch
-    ref_window: int = 49152          # reference extraction window (bases, core)
-    ref_halo: int = 16384            # right halo so window-spanning k-min-mers are seen
-    ref_window_minimizers: int = 1 << 11  # minimizer cap per reference window
+    # Reference windows default to (core + halo) == max_read_len and the same
+    # minimizer cap as reads, so index build and read mapping share ONE compiled
+    # seeding program (compiles go through a slow relay on this TPU environment;
+    # one shape, one compile).
+    ref_window: int = (1 << 15) - 8192  # reference extraction window (bases, core)
+    ref_halo: int = 8192             # right halo so window-spanning k-min-mers are seen
+                                     # (max k-min-mer span ~ (k-1)/d + l << 8192 at defaults)
+    ref_window_minimizers: int = 1 << 9  # minimizer cap per reference window
 
     def __post_init__(self):
         if self.k < 2:
