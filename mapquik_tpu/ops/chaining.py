@@ -157,26 +157,36 @@ def chain_and_select(mb: MatchBatch, p: Params) -> tuple:
         ],
         axis=-1,
     )
-    # segment totals live at the segment end; compress straight to bucket-slot order
-    # (slot b = b-th bucket) by gathering at send_e[spos] — one stacked gather
+    # segment totals live at the segment end; slot b's end = (slot b+1's start) - 1,
+    # or the last valid element for the final bucket — derived from spos by a shift,
+    # no gather needed
     spos, _ = _compact_positions(bhead, M)
-    end_of_slot = jnp.take_along_axis(send_e, spos, axis=1)
+    nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)
+    next_start = jnp.concatenate([spos[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
+    slot = jnp.arange(M, dtype=jnp.int32)[None, :]
+    end_of_slot = jnp.where(
+        slot + 1 < nb[:, None], next_start - 1, jnp.maximum(nvalid[:, None] - 1, 0)
+    )
+    end_of_slot = jnp.clip(end_of_slot, 0, M - 1)
     st = jnp.take_along_axis(stats, end_of_slot[:, :, None], axis=1)
     score, lenf, fpos, lpos = (st[:, :, i] for i in range(4))
-    # chain endpoint fields: one stacked gather per endpoint
-    f_fields = jnp.stack(
-        [rc.astype(jnp.int32), q_s, r_s, r_e, bucket], axis=-1
+    # chain endpoint fields: BOTH endpoints in one gather (concat fpos|lpos indices;
+    # gather cost is latency-dominated, so one 2x-wide gather beats two)
+    e_fields = jnp.stack(
+        [rc.astype(jnp.int32), q_s, q_e, r_s, r_e, bucket], axis=-1
     )
-    ff = jnp.take_along_axis(f_fields, jnp.clip(fpos, 0, M - 1)[:, :, None], axis=1)
-    l_fields = jnp.stack([q_e, r_s, r_e], axis=-1)
-    lf = jnp.take_along_axis(l_fields, jnp.clip(lpos, 0, M - 1)[:, :, None], axis=1)
+    both = jnp.concatenate(
+        [jnp.clip(fpos, 0, M - 1), jnp.clip(lpos, 0, M - 1)], axis=1
+    )
+    fl = jnp.take_along_axis(e_fields, both[:, :, None], axis=1)
+    ff, lf = fl[:, :M], fl[:, M:]
     c_rc = ff[:, :, 0].astype(bool)
     use_rc_coords = c_rc & (lenf > 1)  # chain.rs:165-168
     c_qs = ff[:, :, 1]
-    c_qe = lf[:, :, 0] - 1
-    c_rs = jnp.where(use_rc_coords, lf[:, :, 1], ff[:, :, 2])
-    c_re = jnp.where(use_rc_coords, ff[:, :, 3], lf[:, :, 2]) - 1
-    c_rid = ff[:, :, 4]
+    c_qe = lf[:, :, 2] - 1
+    c_rs = jnp.where(use_rc_coords, lf[:, :, 3], ff[:, :, 3])
+    c_re = jnp.where(use_rc_coords, ff[:, :, 4], lf[:, :, 4]) - 1
+    c_rid = ff[:, :, 5]
     mapq_on = (p.s != 0) and (p.c != 0)
     c_mapq = jnp.where(
         mapq_on & ((lenf >= np.int32(p.c)) | (score >= np.int32(p.s))),

@@ -124,6 +124,22 @@ class TestPipelineVsOracle:
         assert list(mapper.map_reads(weird)) == []
 
 
+class TestNoHpc:
+    def test_nohpc_paf_identical_to_oracle(self, genome, reads):
+        # nohpc yields ~1/0.75x more minimizers per base: needs a larger cap
+        p_nohpc = Params(**{**P.__dict__, "use_hpc": False, "max_minimizers": 1 << 10})
+        mapper = Mapper(genome, p_nohpc)
+        device_lines = sorted(mapper.map_reads(reads))
+        oidx = o.build_index([o.encode(s) for _, s in genome], p_nohpc)
+        refs = [o.RefInfo(nm, len(s)) for nm, s in genome]
+        oracle_lines = sorted(
+            ln for name, seq in reads
+            if (ln := o.map_read(name, o.encode(seq), oidx, refs, p_nohpc))
+        )
+        assert len(oracle_lines) > 30
+        assert device_lines == oracle_lines
+
+
 class TestCheckBugToggle:
     def test_fixed_semantics_also_maps(self, genome, reads):
         p_fixed = Params(**{**P.__dict__, "fix_check_bug": True})
