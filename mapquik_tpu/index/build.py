@@ -26,6 +26,7 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from ..oracle.pyref import encode
+from ..ops import seeding
 from ..ops.seeding import seed_batch
 from ..params import Params
 from .lookup import RefIndex, from_host_arrays
@@ -88,24 +89,32 @@ def extract_contig_kminmers(
     batch_windows = min(batch_windows, 1 << int(np.ceil(np.log2(len(wins)))))
     cap = p.ref_window_minimizers
     parts = []
-    for i in range(0, len(wins), batch_windows):
+
+    def make_batch(i):
         chunk = wins[i : i + batch_windows]
-        B = batch_windows
-        arr = np.full((B, L), 4, dtype=np.uint8)
-        lens = np.zeros(B, dtype=np.int32)
+        arr = np.full((batch_windows, L), 4, dtype=np.uint8)
+        lens = np.zeros(batch_windows, dtype=np.int32)
         for bi, (cs, _, se) in enumerate(chunk):
             arr[bi, : se - cs] = codes[cs:se]
             lens[bi] = se - cs
+        packed = jnp.asarray(seeding.pack4_host(arr))
+        lens_d = jnp.asarray(lens)
+        flat_d = seeding.seed_batch_packed_flat(packed, lens_d, p, cap, L)
+        return chunk, packed, lens_d, flat_d
+
+    def consume(item):
+        chunk, packed, lens_d, flat_d = item
         bcap = cap
         while True:
-            sb = seed_batch(jnp.asarray(arr), jnp.asarray(lens), p, bcap)
-            if not bool(np.asarray(sb.overflow).any()):
+            flat = np.asarray(flat_d)
+            h1, h2, st, en, rv, n, ovf = seeding.unflatten_seed_batch(flat, bcap)
+            if not ovf.any():
                 break
             # cap clipped a window (possible when density far exceeds the params'
             # sizing assumptions) — retry this batch with a doubled cap; exactness
             # beats the recompile cost of a rare event
             bcap *= 2
-        h1, h2, st, en, rv, n, _ = (np.asarray(x) for x in sb)
+            flat_d = seeding.seed_batch_packed_flat(packed, lens_d, p, bcap, L)
         for bi, (cs, ce, _) in enumerate(chunk):
             nk = int(n[bi])
             # owned = prefix with absolute start < core_end
@@ -120,6 +129,17 @@ def extract_contig_kminmers(
                     rv[bi, :n_owned],
                 )
             )
+
+    # sliding pipeline: keep a few batches in flight so device compute and the
+    # (latency-bound) transfers overlap instead of serializing per batch
+    DEPTH = 4
+    inflight = []
+    for i in range(0, len(wins), batch_windows):
+        inflight.append(make_batch(i))
+        if len(inflight) >= DEPTH:
+            consume(inflight.pop(0))
+    while inflight:
+        consume(inflight.pop(0))
     h1 = np.concatenate([x[0] for x in parts])
     h2 = np.concatenate([x[1] for x in parts])
     st = np.concatenate([x[2] for x in parts])

@@ -44,6 +44,23 @@ def map_batch(
     return project_coords(sel, lengths, ref_lens)._replace(overflow=sb.overflow)
 
 
+@functools.partial(jax.jit, static_argnames=("p", "cap", "L"))
+def map_batch_packed(
+    packed: jax.Array,    # uint8 [B, L//2] (4-bit packed codes, pack4_host)
+    lengths: jax.Array,   # int32 [B]
+    index,
+    ref_lens: jax.Array,
+    p: Params,
+    cap: int,
+    L: int,
+) -> MapResult:
+    """map_batch with 4-bit-packed input: halves the host->device upload, which is
+    the CLI-path bottleneck through this environment's ~25 MB/s device tunnel."""
+    from .seeding import unpack4
+
+    return map_batch(unpack4(packed, L), lengths, index, ref_lens, p, cap)
+
+
 def format_paf(
     names: Sequence[str],
     lengths: Sequence[int],
@@ -126,14 +143,22 @@ class Mapper:
 
         def dispatch():
             nonlocal names, lens, buf
-            codes_d = jnp.asarray(buf)
+            from .seeding import pack4_host, unpack4
+
+            packed_d = jnp.asarray(pack4_host(buf))
             lens_d = jnp.asarray(np.asarray(lens + [0] * (B - len(lens)), dtype=np.int32))
-            res = map_batch(codes_d, lens_d, self.index, self.ref_lens, p, p.max_minimizers)
+            res = map_batch_packed(
+                packed_d, lens_d, self.index, self.ref_lens, p, p.max_minimizers,
+                p.max_read_len,
+            )
             loci = None
             if stats is not None:
                 from .stats import read_stats_batch
 
-                loci = read_stats_batch(codes_d, lens_d, self.index, p, p.max_minimizers)
+                loci = read_stats_batch(
+                    unpack4(packed_d, p.max_read_len), lens_d, self.index, p,
+                    p.max_minimizers,
+                )
             out = (names, lens, res, loci)
             names, lens = [], []
             buf = np.full((B, p.max_read_len), 4, dtype=np.uint8)

@@ -36,6 +36,20 @@ _MIX2_PRIME = np.uint32(0x85EBCA6B)
 _BIG_I32 = np.int32(0x7FFFFFFF)
 
 
+def pack4_host(codes: np.ndarray) -> np.ndarray:
+    """Host-side 4-bit packing (2 bases/byte) for host->device transfer: this
+    environment's device tunnel moves ~25 MB/s, so halving the codes upload halves
+    batch feed time. Lossless for codes 0..4 (INVALID rides along). L must be even."""
+    return (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
+
+
+def unpack4(packed: jax.Array, L: int) -> jax.Array:
+    """Device-side inverse of pack4_host: [B, L//2] -> [B, L] uint8."""
+    lo = packed & np.uint8(0xF)
+    hi = packed >> np.uint8(4)
+    return jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], L)
+
+
 class SeedBatch(NamedTuple):
     """Fixed-shape per-read k-min-mer arrays. Slot j holds the k-min-mer with offset j;
     slots >= n are padding (fields zeroed/cleared)."""
@@ -209,6 +223,38 @@ def _shift_left(x: jax.Array, i: int, fill):
     B = x.shape[0]
     pad = jnp.full((B, i), fill, dtype=x.dtype)
     return jnp.concatenate([x[:, i:], pad], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "cap", "L"))
+def seed_batch_packed_flat(
+    packed: jax.Array, lengths: jax.Array, p: Params, cap: int, L: int
+) -> jax.Array:
+    """Transfer-optimized extraction: 4-bit-packed codes in, ONE flat int32
+    [B, 5*cap + 2] array out ([h1, h2, start, end, rev] columns then n, overflow).
+    Device->host pulls cost ~300-400ms latency each through this environment's
+    tunnel, so the index builder pulls exactly one array per window batch."""
+    sb = seed_batch(unpack4(packed, L), lengths, p, cap)
+    flat = jnp.concatenate(
+        [
+            sb.h1.astype(jnp.int32), sb.h2.astype(jnp.int32),
+            sb.start, sb.end, sb.rev.astype(jnp.int32),
+            sb.n[:, None], sb.overflow.astype(jnp.int32)[:, None],
+        ],
+        axis=1,
+    )
+    return flat
+
+
+def unflatten_seed_batch(flat: np.ndarray, cap: int):
+    """Host-side inverse of seed_batch_packed_flat's layout."""
+    h1 = flat[:, 0 * cap : 1 * cap].astype(np.uint32)
+    h2 = flat[:, 1 * cap : 2 * cap].astype(np.uint32)
+    start = flat[:, 2 * cap : 3 * cap]
+    end = flat[:, 3 * cap : 4 * cap]
+    rev = flat[:, 4 * cap : 5 * cap].astype(bool)
+    n = flat[:, 5 * cap]
+    overflow = flat[:, 5 * cap + 1].astype(bool)
+    return h1, h2, start, end, rev, n, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("p", "cap"))
