@@ -18,14 +18,18 @@ def _open(path: str):
     if path.endswith(".gz"):
         return gzip.open(path, "rb")
     if path.endswith(".lz4"):
+        from . import lz4frame
+
+        if lz4frame.available():
+            return lz4frame.open_lz4(path)
         try:
             import lz4.frame  # type: ignore
 
             return lz4.frame.open(path, "rb")
         except ImportError as e:  # pragma: no cover - environment-dependent
             raise RuntimeError(
-                "lz4-compressed input requires the 'lz4' package, which is not "
-                "installed in this environment; decompress the file first"
+                "lz4-compressed input requires liblz4 or the 'lz4' package; "
+                "decompress the file first"
             ) from e
     return open(path, "rb")
 

@@ -87,10 +87,9 @@ def main():
 
     print("axis,value,index_s,map_s,reads_per_s,mapped,q60,q60_wrong,wrong")
     for field, val in sweeps:
-        p = Params(
+        p = Params.auto(
             **{field: val},
             max_read_len=1 << 15,
-            max_minimizers=1 << 9,
             batch_size=args.batch,
         )
         try:

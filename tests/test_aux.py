@@ -159,3 +159,18 @@ def test_shard_fastq_quality_at_signs(tmp_path):
     for s in range(5):
         got.extend(iter_fastx_shard(path, s, 5))
     assert [n for n, _ in got] == [f"r{i}" for i in range(20)]
+
+
+def test_lz4_roundtrip_fastx(tmp_path):
+    from mapquik_tpu.io import lz4frame
+
+    if not lz4frame.available():
+        pytest.skip("liblz4 not present")
+    recs = [(f"r{i}", "ACGTTGCA" * (20 + i)) for i in range(10)]
+    plain = "".join(f">{n} x\n{s}\n" for n, s in recs).encode()
+    path = str(tmp_path / "reads.fa.lz4")
+    with open(path, "wb") as f:
+        f.write(lz4frame.compress(plain))
+    got = list(fastx.iter_fastx(path))
+    assert [n for n, _ in got] == [n for n, _ in recs]
+    assert all(g.decode() == s for (_, g), (_, s) in zip(got, recs))

@@ -1,0 +1,41 @@
+"""Preset configurations (models/presets.py) resolve and map correctly."""
+
+from mapquik_tpu.models import presets
+
+
+def test_presets_resolve():
+    d = presets.default()
+    assert (d.k, d.l, d.density, d.c, d.s, d.g) == (5, 31, 0.01, 4, 11, 2000)
+    h = presets.human()
+    assert (h.k, h.l, h.density) == (7, 31, 0.01)
+    e = presets.ecoli()
+    assert (e.k, e.l, e.density, e.g) == (8, 16, 0.01, 100)
+    m = presets.maize(batch_size=64)
+    assert m.k == 7 and m.batch_size == 64
+    assert set(presets.PRESETS) == {"default", "human", "ecoli", "maize"}
+
+
+def test_preset_caps_never_clip():
+    # auto-derived caps cover mean + 6 sigma at the preset density
+    for name, fn in presets.PRESETS.items():
+        p = fn()
+        assert p.max_minimizers >= p.density * p.max_read_len * 1.05, name
+        assert p.ref_window_minimizers >= p.density * (p.ref_window + p.ref_halo), name
+
+
+def test_ecoli_preset_maps(tmp_path):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from mapquik_tpu.eval.mapeval import evaluate_paf
+    from mapquik_tpu.eval.simulate import markov_genome, simulate_reads
+    from mapquik_tpu.ops.pipeline import Mapper
+
+    p = presets.ecoli(max_read_len=1 << 13, batch_size=16,
+                      ref_window=1 << 14, ref_halo=1 << 12)
+    genome = markov_genome(150_000, seed=9, n_contigs=1)
+    genome = [("chrsim", genome[0][1])]
+    reads = simulate_reads(genome, 16, mean_len=5000, accuracy=0.999, seed=10)
+    mapper = Mapper(genome, p)
+    res = evaluate_paf(mapper.map_reads(reads), n_reads=16)
+    assert res.n_wrong == 0 and res.n_mapped >= 14
