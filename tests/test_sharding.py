@@ -89,3 +89,31 @@ def test_mesh_sizes(setup):
         )
         outs.append(int(n_mapped))
     assert outs[0] == outs[1] > 0
+
+
+def test_multihost_helpers_single_process(tmp_path):
+    """Single-process fallback of the multi-host glue: init is a no-op, shard is
+    0/1, run_host_shard maps the whole file."""
+    import numpy as np
+
+    from mapquik_tpu.parallel import multihost
+    from mapquik_tpu.params import Params
+    from mapquik_tpu.eval.simulate import markov_genome, simulate_reads
+    from mapquik_tpu.ops.pipeline import Mapper
+
+    assert multihost.init_distributed() is False  # no coordinator configured
+    i, n = multihost.host_shard()
+    assert (i, n) == (0, 1)
+    p = Params.auto(k=5, l=17, density=0.05, max_read_len=1 << 12, batch_size=8,
+                    ref_window=1 << 13, ref_halo=1 << 11)
+    genome = markov_genome(60_000, seed=41)
+    reads = simulate_reads(genome, 10, mean_len=2000, accuracy=0.99, seed=42)
+    path = str(tmp_path / "r.fq")
+    with open(path, "w") as f:
+        for nm, s in reads:
+            s = s.decode()
+            f.write(f"@{nm}\n{s}\n+\n{'I' * len(s)}\n")
+    mapper = Mapper(genome, p)
+    out = multihost.run_host_shard(path, mapper, str(tmp_path / "out"))
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) >= 8
