@@ -48,12 +48,16 @@ def dedup_host(h1: np.ndarray, h2: np.ndarray, rid, start, end, offset, rc):
     This is the whole-reference uniqueness filter: the reference implements it as
     insert-then-tombstone (src/index.rs:94-104) + tombstone filtering at lookup
     (src/index.rs:118-126); as a batch operation it is sort + neighbor-equality."""
-    order = np.lexsort((h2, h1))
+    # single u64 sort (measurably faster than lexsort on two u32 keys at the
+    # human-genome scale of ~40M entries)
+    packed = (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
+    order = np.argsort(packed, kind="stable")
+    packed = packed[order]
     h1, h2 = h1[order], h2[order]
     rid, start, end, offset, rc = (a[order] for a in (rid, start, end, offset, rc))
     if h1.shape[0] > 0:
         same_prev = np.zeros(h1.shape[0], dtype=bool)
-        same_prev[1:] = (h1[1:] == h1[:-1]) & (h2[1:] == h2[:-1])
+        same_prev[1:] = packed[1:] == packed[:-1]
         dup = same_prev.copy()
         dup[:-1] |= same_prev[1:]
         keep = ~dup
