@@ -70,19 +70,43 @@ def _rol32(x: jax.Array, r: jax.Array) -> jax.Array:
     return (x << r) | (x >> ((np.uint32(32) - r) % np.uint32(32)))
 
 
-def _prefix_xor(a: jax.Array) -> jax.Array:
-    """Inclusive XOR scan along axis 1, Hillis-Steele (log-depth shift+xor).
+def _prefix_xor(a: jax.Array, block: int = 512) -> jax.Array:
+    """Inclusive XOR scan along axis 1, two-level blocked Hillis-Steele.
 
     Deliberately NOT jax.lax.associative_scan: its recursive odd-even graph makes the
     TPU (Mosaic) compiler blow up when composed with sorts/gathers in one program
-    (measured 236s -> 6.6s compile for the minimizer path on v5e by switching)."""
+    (measured 236s -> 6.6s compile for the minimizer path on v5e by switching).
+
+    Blocked because the pipeline is HBM-bandwidth-bound (23 GB accessed per
+    256-read batch measured via cost_analysis): a flat scan over L=32768 costs 15
+    full-array passes; intra-block scan (log2(block) passes) + a tiny block-level
+    scan + one broadcast pass costs ~log2(block)+1."""
     B, L = a.shape
+    if L <= block:
+        s = 1
+        while s < L:
+            shifted = jnp.concatenate([jnp.zeros((B, s), a.dtype), a[:, :-s]], axis=1)
+            a = a ^ shifted
+            s *= 2
+        return a
+    nb = L // block
+    x = a.reshape(B, nb, block)
     s = 1
-    while s < L:
-        shifted = jnp.concatenate([jnp.zeros((B, s), a.dtype), a[:, :-s]], axis=1)
-        a = a ^ shifted
+    while s < block:
+        shifted = jnp.concatenate(
+            [jnp.zeros((B, nb, s), a.dtype), x[:, :, :-s]], axis=2
+        )
+        x = x ^ shifted
         s *= 2
-    return a
+    # exclusive block-prefix of per-block totals (tiny [B, nb] scan)
+    tot = x[:, :, -1]
+    s = 1
+    bp = jnp.concatenate([jnp.zeros((B, 1), a.dtype), tot[:, :-1]], axis=1)
+    while s < nb:
+        shifted = jnp.concatenate([jnp.zeros((B, s), a.dtype), bp[:, :-s]], axis=1)
+        bp = bp ^ shifted
+        s *= 2
+    return (x ^ bp[:, :, None]).reshape(B, L)
 
 
 def _fmix32(h: jax.Array) -> jax.Array:
@@ -185,33 +209,34 @@ def minimizers_batch(codes: jax.Array, lengths: jax.Array, p: Params, cap: int):
 
     Returns (mhash u32, mstart i32, mend i32, mn i32[B]).
     """
+    B, L = codes.shape
     if p.use_hpc:
-        hcodes, run_start, run_end, _ = hpc_compact(codes, lengths)
+        hcodes, run_start, _, _ = hpc_compact(codes, lengths)
     else:
-        B, L = codes.shape
         pos = jnp.arange(L, dtype=jnp.int32)[None, :]
         inb = pos < lengths[:, None]
         hcodes = jnp.where(inb, codes, np.uint8(INVALID))
         run_start = jnp.broadcast_to(pos, (B, L))
-        run_end = run_start + 1
     canon, valid = nthash32_batch(hcodes, p.l)
     sel = valid & (canon < np.uint32(p.hash_threshold))
     mpos, mn = _compact_positions(sel, cap)
-    # end of minimizer at hpc pos q is run_end[q + l - 1]: shift run_end left by l-1
-    # (static slice) so all three fields share mpos and ONE stacked gather suffices
-    # (each separate gather costs ~1.4ms on v5e regardless of width; stacked is one)
-    L = codes.shape[1]
-    run_end_s = jnp.concatenate(
-        [run_end[:, p.l - 1 :], jnp.broadcast_to(run_end[:, -1:], (run_end.shape[0], p.l - 1))],
-        axis=1,
-    )
-    fields = jnp.stack(
-        [canon.astype(jnp.int32), run_start, run_end_s], axis=-1
-    )  # [B, L, 3]
-    g = jnp.take_along_axis(fields, mpos[:, :, None], axis=1)  # [B, cap, 3]
-    mhash = g[:, :, 0].astype(jnp.uint32)
-    mstart = g[:, :, 1]
-    mend = g[:, :, 2]
+    # end of the minimizer whose first HPC char is at q = run_end[q + l - 1]
+    # = run_start[q + l] (next run's start), tail-filled with the sequence length.
+    # The pipeline is bandwidth-bound: base-space start/end both fit 16 bits
+    # (L <= 32768 guaranteed by Params), so pack them into ONE int32 plane and
+    # gather (canon, packed) with two skinny gathers instead of materializing a
+    # [B, L, 3] stack (~400 MB/batch — measured slower than the extra gather).
+    fill = jnp.broadcast_to(lengths[:, None].astype(jnp.int32), (B, p.l))
+    run_start_l = jnp.concatenate([run_start[:, p.l :], fill], axis=1)
+    mhash = jnp.take_along_axis(canon, mpos, axis=1)
+    if L <= (1 << 15):  # both coords fit 16 bits (end may be exactly 32768)
+        packed_se = (run_start << 16) | run_start_l
+        g_se = jnp.take_along_axis(packed_se, mpos, axis=1)
+        mstart = g_se >> 16
+        mend = g_se & np.int32(0xFFFF)
+    else:  # long-sequence fallback: two separate coordinate gathers
+        mstart = jnp.take_along_axis(run_start, mpos, axis=1)
+        mend = jnp.take_along_axis(run_start_l, mpos, axis=1)
     mn_true = jnp.sum(sel.astype(jnp.int32), axis=1)
     return mhash, mstart, mend, mn, mn_true
 
