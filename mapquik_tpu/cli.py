@@ -61,6 +61,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--shard", default=None, metavar="I/N",
                     help="map only byte-range shard I of N of the reads file "
                          "(multi-host input sharding; uncompressed inputs only)")
+    ap.add_argument("--profile-dir", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the mapping phase")
     ap.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                     help="force the JAX platform (default: environment's; this host's "
                          "sitecustomize pins the TPU backend, so --platform cpu is the "
@@ -149,10 +151,13 @@ def main(argv=None) -> int:
             stats = StatsWriter(prefix)
         tq = time.time()
         n_lines = 0
-        with open(prefix + ".paf", "w") as out:
-            for line in mapper.map_reads(read_iter(), stats=stats):
-                out.write(line + "\n")
-                n_lines += 1
+        from .utils.runtime import profile_trace
+
+        with profile_trace(args.profile_dir):
+            with open(prefix + ".paf", "w") as out:
+                for line in mapper.map_reads(read_iter(), stats=stats):
+                    out.write(line + "\n")
+                    n_lines += 1
         if stats is not None:
             stats.close()
     else:

@@ -57,3 +57,31 @@ def max_rss_gb() -> float:
     import resource
 
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0 / 1024.0
+
+
+@contextmanager
+def profile_trace(trace_dir: str | None):
+    """jax.profiler trace capture (TensorBoard/Perfetto format) around a phase.
+
+    The reference's only tracing is Instant::now() spans (src/closures.rs:81,91);
+    this adds device-level tracing (SURVEY.md §5 plan). No-op when trace_dir is
+    falsy or the profiler is unavailable on the backend."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    try:
+        jax.profiler.start_trace(trace_dir)
+    except Exception as e:  # backend without profiler support
+        print(f"Warning: profiler unavailable ({type(e).__name__}); continuing without trace.")
+        yield
+        return
+    try:
+        yield
+    finally:
+        try:
+            jax.profiler.stop_trace()
+            print(f"Profiler trace written to {trace_dir}.")
+        except Exception:
+            pass
