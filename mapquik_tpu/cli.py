@@ -137,7 +137,14 @@ def main(argv=None) -> int:
             print(f"Loaded index ({mapper.n_unique} unique k-min-mers) in {time.time()-ti:.2f}s.")
         else:
             contigs = list(fastx.iter_fastx(args.reference))
-            mapper = Mapper(contigs, p)
+            if args.debug:
+                from .index.build import build_index
+
+                verbose = lambda m: print(f"[debug +{time.time()-t0:6.1f}s] {m}")
+                index, meta = build_index(contigs, p, verbose=verbose)
+                mapper = Mapper.from_index(index, meta, p)
+            else:
+                mapper = Mapper(contigs, p)
             print(f"Indexed {mapper.n_unique} unique k-min-mers in {time.time()-ti:.2f}s.")
         if args.save_index:
             from .index.serialize import params_key, save_index

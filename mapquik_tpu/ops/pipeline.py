@@ -53,12 +53,33 @@ def map_batch_packed(
     p: Params,
     cap: int,
     L: int,
-) -> MapResult:
-    """map_batch with 4-bit-packed input: halves the host->device upload, which is
-    the CLI-path bottleneck through this environment's ~25 MB/s device tunnel."""
+) -> jax.Array:
+    """Transfer-optimized map_batch for the streaming driver: 4-bit-packed codes in
+    (halves the upload), ONE flat int32 [B, 10] result out (each device->host pull
+    costs ~0.1-0.4 s latency through this environment's tunnel, so the driver pulls
+    exactly one array per batch). Columns: mapped, rc, q_start, q_end, rid,
+    r_start, r_end, score, mapq, overflow."""
     from .seeding import unpack4
 
-    return map_batch(unpack4(packed, L), lengths, index, ref_lens, p, cap)
+    res = map_batch(unpack4(packed, L), lengths, index, ref_lens, p, cap)
+    return jnp.stack(
+        [
+            res.mapped.astype(jnp.int32), res.rc.astype(jnp.int32),
+            res.q_start, res.q_end, res.rid, res.r_start, res.r_end,
+            res.score, res.mapq, res.overflow.astype(jnp.int32),
+        ],
+        axis=1,
+    )
+
+
+def unflatten_map_result(flat: np.ndarray) -> MapResult:
+    """Host-side inverse of map_batch_packed's flat layout."""
+    return MapResult(
+        mapped=flat[:, 0].astype(bool), rc=flat[:, 1].astype(bool),
+        q_start=flat[:, 2], q_end=flat[:, 3], rid=flat[:, 4],
+        r_start=flat[:, 5], r_end=flat[:, 6], score=flat[:, 7], mapq=flat[:, 8],
+        overflow=flat[:, 9].astype(bool),
+    )
 
 
 def format_paf(
@@ -147,7 +168,7 @@ class Mapper:
 
             packed_d = jnp.asarray(pack4_host(buf))
             lens_d = jnp.asarray(np.asarray(lens + [0] * (B - len(lens)), dtype=np.int32))
-            res = map_batch_packed(
+            flat = map_batch_packed(
                 packed_d, lens_d, self.index, self.ref_lens, p, p.max_minimizers,
                 p.max_read_len,
             )
@@ -159,13 +180,14 @@ class Mapper:
                     unpack4(packed_d, p.max_read_len), lens_d, self.index, p,
                     p.max_minimizers,
                 )
-            out = (names, lens, res, loci)
+            out = (names, lens, flat, loci)
             names, lens = [], []
             buf = np.full((B, p.max_read_len), 4, dtype=np.uint8)
             return out
 
         def finalize(item):
-            f_names, f_lens, res, loci = item
+            f_names, f_lens, flat, loci = item
+            res = unflatten_map_result(np.asarray(flat))  # the ONE d2h pull
             ovf = np.asarray(res.overflow)[: len(f_names)]
             if ovf.any():
                 import sys
