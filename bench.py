@@ -38,7 +38,10 @@ def main():
     from mapquik_tpu.ops.pipeline import Mapper, map_batch, format_paf
     from mapquik_tpu.oracle.pyref import encode
 
-    genome_mb = int(os.environ.get("BENCH_GENOME_MB", "32"))
+    # 16MB default keeps the cold-start index build well inside the driver's
+    # budget even when the remote compile relay is in a slow phase (observed
+    # variance: same program 9s..300s); BENCH_GENOME_MB=32+ for bigger runs
+    genome_mb = int(os.environ.get("BENCH_GENOME_MB", "16"))
     n_reads = int(os.environ.get("BENCH_READS", "2048"))
     B = int(os.environ.get("BENCH_BATCH", "256"))
     p = Params(

@@ -51,6 +51,22 @@ def markov_genome(length: int, seed: int = 0, n_contigs: int = 1, order_bias: fl
     return out
 
 
+def simulate_depth(
+    contigs: List[Tuple[str, bytes]],
+    depth: float,
+    mean_len: int = 24000,
+    accuracy: float = 0.99,
+    seed: int = 1,
+    **kw,
+) -> List[Tuple[str, bytes]]:
+    """Coverage-depth parameterization, like the reference's pbsim runs
+    (example/simulate_pbsim.sh: --depth 10; maize 30X): n_reads = depth * G / mean_len."""
+    genome_len = sum(len(s) for _, s in contigs)
+    n_reads = max(1, int(round(depth * genome_len / mean_len)))
+    return simulate_reads(contigs, n_reads, mean_len=mean_len, accuracy=accuracy,
+                          seed=seed, **kw)
+
+
 def simulate_reads(
     contigs: List[Tuple[str, bytes]],
     n_reads: int,

@@ -174,3 +174,13 @@ def test_lz4_roundtrip_fastx(tmp_path):
     got = list(fastx.iter_fastx(path))
     assert [n for n, _ in got] == [n for n, _ in recs]
     assert all(g.decode() == s for (_, g), (_, s) in zip(got, recs))
+
+
+def test_simulate_depth_parameterization():
+    from mapquik_tpu.eval.simulate import simulate_depth
+
+    genome = markov_genome(240_000, seed=13, n_contigs=2)
+    reads = simulate_depth(genome, depth=10, mean_len=3000, seed=14)
+    assert len(reads) == 800  # 10 * 240000 / 3000
+    total = sum(len(s) for _, s in reads)
+    assert 0.8 < total / (10 * 240_000) < 1.2  # ~10x coverage
