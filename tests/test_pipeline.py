@@ -147,3 +147,35 @@ class TestCheckBugToggle:
         res = evaluate_paf(mapper.map_reads(reads), n_reads=len(reads))
         assert res.n_wrong == 0
         assert res.n_mapped >= 0.9 * res.n_reads
+
+
+class TestRealSequenceSelfMapping:
+    def test_device_self_mapping_ecoli_reads(self):
+        """Device pipeline on REAL E. coli HiFi sequence (the bundled reference
+        example reads; the genome itself is a missing blob — SURVEY.md §4.1):
+        index the reads as contigs, map them against themselves, and require
+        string-identical PAF vs the oracle plus self-hits at Q60."""
+        import os
+
+        path = "/root/reference/example/nearperfect-ecoli.100.fa"
+        if not os.path.exists(path):
+            import pytest
+
+            pytest.skip("reference example reads not mounted")
+        from mapquik_tpu.io.fastx import iter_fasta
+
+        recs = list(iter_fasta(path))[:12]
+        p = Params.auto(k=8, l=16, density=0.01, g=100,
+                        max_read_len=1 << 15, batch_size=12)
+        mapper = Mapper(recs, p)
+        device = sorted(mapper.map_reads(recs))
+        oidx = o.build_index([o.encode(s) for _, s in recs], p)
+        refs = [o.RefInfo(nm, len(s)) for nm, s in recs]
+        oracle = sorted(
+            ln for nm, s in recs if (ln := o.map_read(nm, o.encode(s), oidx, refs, p))
+        )
+        assert device == oracle
+        n_self = sum(1 for ln in device
+                     if ln.split("\t")[0] == ln.split("\t")[5]
+                     and ln.split("\t")[11] == "60")
+        assert n_self >= 10
