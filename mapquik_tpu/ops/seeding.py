@@ -217,9 +217,23 @@ def minimizers_batch(codes: jax.Array, lengths: jax.Array, p: Params, cap: int):
         inb = pos < lengths[:, None]
         hcodes = jnp.where(inb, codes, np.uint8(INVALID))
         run_start = jnp.broadcast_to(pos, (B, L))
-    canon, valid = nthash32_batch(hcodes, p.l)
-    sel = valid & (canon < np.uint32(p.hash_threshold))
-    mpos, mn = _compact_positions(sel, cap)
+    from .pallas_seeding import nthash_sel_pallas, pallas_available
+
+    if pallas_available(B, L, p.l):
+        # fused Pallas path (TPU): canon + density-selected sort key in one pass
+        canon, selkey = nthash_sel_pallas(hcodes, p.l, p.hash_threshold)
+        skey = jax.lax.sort(selkey, dimension=1)[:, : min(cap, L)]
+        mpos = jnp.where(skey != _BIG_I32, skey, 0)
+        if cap > L:
+            mpos = jnp.pad(mpos, ((0, 0), (0, cap - L)))
+        n_sel = jnp.sum((selkey != _BIG_I32).astype(jnp.int32), axis=1)
+        mn = jnp.minimum(n_sel, cap)
+        sel_count_true = n_sel
+    else:
+        canon, valid = nthash32_batch(hcodes, p.l)
+        sel = valid & (canon < np.uint32(p.hash_threshold))
+        mpos, mn = _compact_positions(sel, cap)
+        sel_count_true = jnp.sum(sel.astype(jnp.int32), axis=1)
     # end of the minimizer whose first HPC char is at q = run_end[q + l - 1]
     # = run_start[q + l] (next run's start), tail-filled with the sequence length.
     # The pipeline is bandwidth-bound: base-space start/end both fit 16 bits
@@ -237,7 +251,7 @@ def minimizers_batch(codes: jax.Array, lengths: jax.Array, p: Params, cap: int):
     else:  # long-sequence fallback: two separate coordinate gathers
         mstart = jnp.take_along_axis(run_start, mpos, axis=1)
         mend = jnp.take_along_axis(run_start_l, mpos, axis=1)
-    mn_true = jnp.sum(sel.astype(jnp.int32), axis=1)
+    mn_true = sel_count_true
     return mhash, mstart, mend, mn, mn_true
 
 
