@@ -49,6 +49,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--batch-size", type=int, default=None, help="reads per device batch")
     ap.add_argument("--max-read-len", type=int, default=None,
                     help="padded read length cap (longer reads truncated)")
+    ap.add_argument("--length-bins", default=None, metavar="L1,L2",
+                    help="extra padded-length bins below max-read-len (e.g. "
+                         "8192,16384); short reads cost proportionally less")
     ap.add_argument("--fix-check-bug", action="store_true",
                     help="use fixed match-extension semantics instead of reference parity")
     ap.add_argument("--read-stats", action="store_true",
@@ -90,6 +93,10 @@ def params_from_args(args) -> Params:
         kw["batch_size"] = 64
     if args.max_read_len:
         kw["max_read_len"] = 1 << (args.max_read_len - 1).bit_length()
+    if args.length_bins:
+        kw["length_bins"] = tuple(
+            1 << (int(x) - 1).bit_length() for x in args.length_bins.split(",")
+        )
     # capacity knobs derived from density/lengths so no seed cap ever clips
     return Params.auto(**kw)
 

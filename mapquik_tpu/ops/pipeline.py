@@ -146,43 +146,59 @@ class Mapper:
         batch_size: Optional[int] = None,
         stats=None,
     ) -> Iterator[str]:
-        """Yield PAF lines (reads in input order; unmapped reads skipped).
+        """Yield PAF lines for mapped reads (unmapped reads are skipped).
 
         Double-buffered: each batch is dispatched asynchronously and finalized only
         after the NEXT batch is enqueued, so host packing/PAF formatting overlaps
         device compute (the reference overlaps via worker threads,
         src/closures.rs:183-205; here JAX's async dispatch provides the pipeline).
 
+        Length bins (Params.length_bins): reads are routed to the smallest padded
+        length bin that fits them, so short reads in mixed-length inputs cost
+        proportionally less device work. With bins, output order groups by bin
+        flush (the reference's output order is nondeterministic anyway,
+        SURVEY.md §2.7; PAF line CONTENT is bin-independent).
+
         A read's sequence may be bytes/str (encoded here) or a pre-encoded uint8
         codes array (e.g. from the native parser, io/native.py)."""
+        from ..params import _seed_cap
+        from .seeding import pack4_host, unpack4
+
         p = self.p
         B = batch_size or p.batch_size
-        names: List[str] = []
-        lens: List[int] = []
-        buf = np.full((B, p.max_read_len), 4, dtype=np.uint8)
-        pending = None  # (names, lens, MapResult, loci or None)
+        bins = sorted(set(int(b) for b in p.length_bins if b < p.max_read_len))
+        bins.append(p.max_read_len)
+        caps = [min(p.max_minimizers, _seed_cap(Lb, p.density, p.k)) for Lb in bins]
 
-        def dispatch():
-            nonlocal names, lens, buf
-            from .seeding import pack4_host, unpack4
+        class _Bin:
+            def __init__(self, Lb, cap):
+                self.L = Lb
+                self.cap = cap
+                self.names: List[str] = []
+                self.lens: List[int] = []
+                self.buf = np.full((B, Lb), 4, dtype=np.uint8)
 
-            packed_d = jnp.asarray(pack4_host(buf))
-            lens_d = jnp.asarray(np.asarray(lens + [0] * (B - len(lens)), dtype=np.int32))
+        state = [_Bin(Lb, cap) for Lb, cap in zip(bins, caps)]
+        pending = None  # (names, lens, flat result, loci or None)
+
+        def dispatch(bn: "_Bin"):
+            packed_d = jnp.asarray(pack4_host(bn.buf))
+            lens_d = jnp.asarray(
+                np.asarray(bn.lens + [0] * (B - len(bn.lens)), dtype=np.int32)
+            )
             flat = map_batch_packed(
-                packed_d, lens_d, self.index, self.ref_lens, p, p.max_minimizers,
-                p.max_read_len,
+                packed_d, lens_d, self.index, self.ref_lens, p, bn.cap, bn.L
             )
             loci = None
             if stats is not None:
                 from .stats import read_stats_batch
 
                 loci = read_stats_batch(
-                    unpack4(packed_d, p.max_read_len), lens_d, self.index, p,
-                    p.max_minimizers,
+                    unpack4(packed_d, bn.L), lens_d, self.index, p, bn.cap
                 )
-            out = (names, lens, flat, loci)
-            names, lens = [], []
-            buf = np.full((B, p.max_read_len), 4, dtype=np.uint8)
+            out = (bn.names, bn.lens, flat, loci)
+            bn.names, bn.lens = [], []
+            bn.buf = np.full((B, bn.L), 4, dtype=np.uint8)
             return out
 
         def finalize(item):
@@ -193,9 +209,8 @@ class Mapper:
                 import sys
 
                 print(
-                    f"Warning: seed cap ({p.max_minimizers}) clipped "
-                    f"{int(ovf.sum())} read(s); raise max_minimizers or density-derived "
-                    f"caps (Params.auto) for exactness.",
+                    f"Warning: seed cap clipped {int(ovf.sum())} read(s); raise "
+                    f"max_minimizers or density-derived caps (Params.auto) for exactness.",
                     file=sys.stderr,
                 )
             if loci is not None:
@@ -205,32 +220,34 @@ class Mapper:
         n_truncated = 0
         for name, seq in reads:
             codes = seq if isinstance(seq, np.ndarray) else encode(seq)
-            L = codes.shape[0]
-            if L > p.max_read_len:
+            Lr = codes.shape[0]
+            if Lr > p.max_read_len:
                 if n_truncated == 0:
                     import sys
 
                     print(
-                        f"Warning: read {name} ({L} bp) exceeds max_read_len "
+                        f"Warning: read {name} ({Lr} bp) exceeds max_read_len "
                         f"({p.max_read_len}); truncating (raise --max-read-len for "
                         f"full-length parity with the reference).",
                         file=sys.stderr,
                     )
                 n_truncated += 1
                 codes = codes[: p.max_read_len]
-                L = p.max_read_len
-            buf[len(names), :L] = codes
-            names.append(name)
-            lens.append(L)
-            if len(names) == B:
-                nxt = dispatch()
+                Lr = p.max_read_len
+            bn = next(b for b in state if Lr <= b.L)
+            bn.buf[len(bn.names), :Lr] = codes
+            bn.names.append(name)
+            bn.lens.append(Lr)
+            if len(bn.names) == B:
+                nxt = dispatch(bn)
                 if pending is not None:
                     yield from finalize(pending)
                 pending = nxt
-        if names:
-            nxt = dispatch()
-            if pending is not None:
-                yield from finalize(pending)
-            pending = nxt
+        for bn in state:
+            if bn.names:
+                nxt = dispatch(bn)
+                if pending is not None:
+                    yield from finalize(pending)
+                pending = nxt
         if pending is not None:
             yield from finalize(pending)

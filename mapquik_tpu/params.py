@@ -31,6 +31,10 @@ class Params:
 
     # --- capacity / batching knobs (TPU-only; no semantic effect unless clipped) ---
     max_read_len: int = 1 << 15      # default padded read length bin ceiling
+    length_bins: tuple = ()          # optional extra padded-length bins below
+                                     # max_read_len (e.g. (8192, 16384)): short reads
+                                     # route to the smallest fitting bin and cost
+                                     # proportionally less device work
     max_minimizers: int = 1 << 9     # per-sequence minimizer cap (d*L ~ 330 for 32kb)
     batch_size: int = 256            # reads per device batch
     # Reference windows default to (core + halo) == max_read_len and the same
@@ -51,6 +55,11 @@ class Params:
             raise ValueError("density must be in (0, 1]")
         if self.max_minimizers < self.k:
             raise ValueError("max_minimizers must be >= k")
+        for b in self.length_bins:
+            if b >= self.max_read_len:
+                raise ValueError("length_bins must be < max_read_len")
+            if b > 512 and b % 512:
+                raise ValueError("length bins must be multiples of 512 (scan blocking)")
 
     @property
     def min_seq_len(self) -> int:

@@ -179,3 +179,18 @@ class TestRealSequenceSelfMapping:
                      if ln.split("\t")[0] == ln.split("\t")[5]
                      and ln.split("\t")[11] == "60")
         assert n_self >= 10
+
+
+class TestLengthBins:
+    def test_binned_output_equals_unbinned(self, genome):
+        """Mixed-length reads through length bins: same PAF line set as single-bin."""
+        reads = simulate_reads(genome, 24, mean_len=1500, accuracy=0.99, seed=21)
+        reads += simulate_reads(genome, 24, mean_len=6000, accuracy=0.99, seed=22)
+        p1 = Params(**{**P.__dict__})
+        p2 = Params(**{**P.__dict__, "length_bins": (2048,)})
+        m1 = Mapper(genome, p1)
+        m2 = Mapper.from_index(m1.index, m1.meta, p2)
+        a = sorted(m1.map_reads(reads))
+        b = sorted(m2.map_reads(reads))
+        assert len(a) > 40
+        assert a == b
