@@ -82,3 +82,10 @@ def evaluate_paf(paf_lines: Iterable[str], n_reads: int = 0) -> MapevalResult:
         n, w = res.per_mapq.get(mapq, (0, 0))
         res.per_mapq[mapq] = (n + 1, w + (0 if correct else 1))
     return res
+
+
+def unmapped_reads(paf_lines, read_names):
+    """Names of reads absent from a PAF — the reference's rescue-analysis input
+    (experiments/run_chm13_mapquik_unmapped.sh greps exactly this set)."""
+    mapped = {ln.split("\t")[0] for ln in paf_lines if ln.strip()}
+    return [n for n in read_names if n not in mapped]
