@@ -27,7 +27,7 @@ import numpy as np
 
 from ..params import Params
 from .matching import MatchBatch
-from .seeding import _compact_positions
+from .seeding import _compact_positions, take_rows
 
 _BIG_I32 = np.int32(0x7FFFFFFF)
 
@@ -110,7 +110,7 @@ def chain_and_select(mb: MatchBatch, p: Params) -> tuple:
     # (segmented prefix scan) gathered at the segment end — no scatters anywhere
     # (a single [B, M] scatter costs ~6ms on v5e; these scans are ~30us)
     send_e = jnp.clip(_seg_end(valid, bhead), 0, M - 1)
-    gend = lambda a: jnp.take_along_axis(a, send_e, axis=1)
+    gend = lambda a: take_rows(a, send_e)
 
     # --- 2. anchor per bucket: max count, earliest position on ties ---
     # key encodes (count, M - idx); the unique segment max IS the anchor and its
@@ -120,7 +120,7 @@ def chain_and_select(mb: MatchBatch, p: Params) -> tuple:
     apos_g = np.int32(M) - (kmax_g % np.int32(M + 1))
     # anchor fields: one stacked gather (separate gathers cost ~1.4ms each on v5e)
     elem_fields = jnp.stack([count, q_s, q_e, r_s, r_e, rc.astype(jnp.int32)], axis=-1)
-    anc = jnp.take_along_axis(elem_fields, jnp.maximum(apos_g, 0)[:, :, None], axis=1)
+    anc = take_rows(elem_fields, jnp.maximum(apos_g, 0))
     a_count, a_qs, a_qe, a_rs, a_re = (anc[:, :, i] for i in range(5))
     a_rc = anc[:, :, 5].astype(bool)
 
@@ -168,7 +168,7 @@ def chain_and_select(mb: MatchBatch, p: Params) -> tuple:
         slot + 1 < nb[:, None], next_start - 1, jnp.maximum(nvalid[:, None] - 1, 0)
     )
     end_of_slot = jnp.clip(end_of_slot, 0, M - 1)
-    st = jnp.take_along_axis(stats, end_of_slot[:, :, None], axis=1)
+    st = take_rows(stats, end_of_slot)
     score, lenf, fpos, lpos = (st[:, :, i] for i in range(4))
     # chain endpoint fields: BOTH endpoints in one gather (concat fpos|lpos indices;
     # gather cost is latency-dominated, so one 2x-wide gather beats two)
@@ -178,7 +178,7 @@ def chain_and_select(mb: MatchBatch, p: Params) -> tuple:
     both = jnp.concatenate(
         [jnp.clip(fpos, 0, M - 1), jnp.clip(lpos, 0, M - 1)], axis=1
     )
-    fl = jnp.take_along_axis(e_fields, both[:, :, None], axis=1)
+    fl = take_rows(e_fields, both)
     ff, lf = fl[:, :M], fl[:, M:]
     c_rc = ff[:, :, 0].astype(bool)
     use_rc_coords = c_rc & (lenf > 1)  # chain.rs:165-168
@@ -206,7 +206,7 @@ def chain_and_select(mb: MatchBatch, p: Params) -> tuple:
     out_fields = jnp.stack(
         [c_rc.astype(jnp.int32), c_qs, c_qe, c_rs, c_re, score, c_mapq, c_rid], axis=-1
     )
-    ob = jnp.take_along_axis(out_fields, best[:, None, None], axis=1)[:, 0]
+    ob = take_rows(out_fields, best[:, None])[:, 0]
     return (mapped, ob[:, 0].astype(bool), ob[:, 1], ob[:, 2], ob[:, 3], ob[:, 4],
             ob[:, 5], ob[:, 6], ob[:, 7])
 
