@@ -1,5 +1,8 @@
 """ctypes binding for the native C++ FASTX parser (native/fastx.cpp).
 
+Reference analog: the seq_io record parser + rust-parallelfastx whole-file parser
+feeding the worker pool (src/closures.rs:83-90,189-208; SURVEY.md §2.8).
+
 Builds the shared library on first use (make -C native); callers fall back to the
 pure-Python parser if the toolchain or zlib is unavailable. Returns zero-Python-loop
 parsed records: one encoded uint8 codes buffer + offsets + names.

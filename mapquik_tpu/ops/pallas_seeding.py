@@ -1,5 +1,9 @@
 """Pallas TPU kernels: fused canonical ntHash + density predicate.
 
+Reference analog: the AVX-512/AVX2 fast path of the rust-seq2kminmers crate's
+minimizer scan (SURVEY.md §2.2; selected by `HashMode::Simd`, src/mers.rs:22-26) —
+the hand-vectorized hot loop of the reference, rebuilt as Mosaic kernels.
+
 Why kernels here: the XLA formulation of the rolling-hash scan materializes its
 pad/slice/select steps to HBM — 6.5 GB of instruction outputs per 256-read batch
 measured from the compiled HLO — and its cost in the full seeding program is far
