@@ -14,8 +14,11 @@ build parallelizes within a contig regardless of contig count:
     global offsets are window-prefix sums — identical numbering to whole-contig
     extraction (offset = ordinal in the contig's k-min-mer list, src/index.rs:47).
 
-A k-min-mer whose minimizer span exceeds the halo (sub-astronomical probability at
-default density; SURVEY.md §7 hard part (b)) is dropped — `halo` is configurable.
+A k-min-mer whose minimizer span would exceed the halo (sub-astronomical probability
+at Params.auto-derived halos) is DETECTED at runtime — every window reports the start
+of its first unemitted k-min-mer (SeedBatch.tail_start); if that start is owned by a
+halo-truncated window, the contig is re-extracted with a doubled halo, so no
+window-spanning k-min-mer is ever silently dropped.
 """
 
 from __future__ import annotations
@@ -65,11 +68,38 @@ def plan_windows(codes: np.ndarray, p: Params) -> List[Tuple[int, int, int]]:
     return out
 
 
+class _HaloDrop(Exception):
+    """A halo-truncated window dropped an owned k-min-mer (span > ref_halo)."""
+
+
 def extract_contig_kminmers(
     codes: np.ndarray, p: Params, batch_windows: int = 256, verbose=None
 ) -> Tuple[np.ndarray, ...]:
     """All k-min-mers of one contig as host arrays (h1, h2, start, end, offset, rev),
-    ordered and numbered exactly as whole-contig extraction."""
+    ordered and numbered exactly as whole-contig extraction. Retries with a doubled
+    halo if drop detection fires (exactness beats the rare recompile)."""
+    import dataclasses
+
+    while True:
+        try:
+            return _extract_contig_once(codes, p, batch_windows, verbose)
+        except _HaloDrop:
+            newp = dataclasses.replace(
+                p,
+                ref_halo=p.ref_halo * 2,
+                ref_window=max(p.ref_window, p.ref_halo * 2),
+            )
+            if verbose:
+                verbose(
+                    f"halo drop detected: retrying contig with ref_halo="
+                    f"{newp.ref_halo}"
+                )
+            p = newp
+
+
+def _extract_contig_once(
+    codes: np.ndarray, p: Params, batch_windows: int = 256, verbose=None
+) -> Tuple[np.ndarray, ...]:
     import jax.numpy as jnp
 
     wins = plan_windows(codes, p)
@@ -102,12 +132,14 @@ def extract_contig_kminmers(
         flat_d = seeding.seed_batch_packed_flat(packed, lens_d, p, cap, L)
         return chunk, packed, lens_d, flat_d
 
+    n_contig = codes.shape[0]
+
     def consume(item):
         chunk, packed, lens_d, flat_d = item
         bcap = cap
         while True:
             flat = np.asarray(flat_d)
-            h1, h2, st, en, rv, n, ovf = seeding.unflatten_seed_batch(flat, bcap)
+            h1, h2, st, en, rv, n, ovf, tail = seeding.unflatten_seed_batch(flat, bcap)
             if not ovf.any():
                 break
             # cap clipped a window (possible when density far exceeds the params'
@@ -115,6 +147,11 @@ def extract_contig_kminmers(
             # beats the recompile cost of a rare event
             bcap *= 2
             flat_d = seeding.seed_batch_packed_flat(packed, lens_d, p, bcap, L)
+        for bi, (cs, ce, se) in enumerate(chunk):
+            # a window truncated by the halo (not by contig end) whose first
+            # UNemitted k-min-mer starts before core_end dropped an owned seed
+            if se < n_contig and tail[bi] < ce - cs:
+                raise _HaloDrop()
         for bi, (cs, ce, _) in enumerate(chunk):
             nk = int(n[bi])
             # owned = prefix with absolute start < core_end

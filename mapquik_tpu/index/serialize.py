@@ -34,7 +34,9 @@ def save_index(path: str, index, meta: RefMeta, params_key: str = "") -> None:
         version=np.int64(_FORMAT_VERSION),
         kind=kind,
         params_key=params_key,
-        names=np.asarray(meta.names, dtype=object),
+        # fixed-width unicode (not dtype=object) so load_index can refuse pickled
+        # payloads: a shared .npz index must never be able to execute code
+        names=np.asarray(meta.names, dtype=np.str_),
         lengths=meta.lengths,
         **cols,
     )
@@ -42,7 +44,7 @@ def save_index(path: str, index, meta: RefMeta, params_key: str = "") -> None:
 
 def load_index(path: str, expect_params_key: str = "") -> Tuple[object, RefMeta]:
     """Load an index saved by save_index. Raises on version/params mismatch."""
-    z = np.load(path, allow_pickle=True)
+    z = np.load(path, allow_pickle=False)
     if int(z["version"]) != _FORMAT_VERSION:
         raise ValueError(f"index format version {int(z['version'])} unsupported")
     saved_key = str(z["params_key"])

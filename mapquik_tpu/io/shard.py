@@ -104,7 +104,8 @@ def iter_fastx_shard(
                 if not header or header[:1] != b"@":
                     break
                 seq = f.readline()
-                f.readline()
-                qual = f.readline()
+                plus = f.readline()  # '+' separator may carry a description / CRLF:
+                qual = f.readline()  # use its real length, or pos drifts and records
+                # near the boundary are double-owned by adjacent shards
                 yield header[1:].split()[0].decode(), seq.rstrip(b"\r\n")
-                pos += len(header) + len(seq) + 2 + len(qual)
+                pos += len(header) + len(seq) + len(plus) + len(qual)

@@ -182,10 +182,10 @@ class Mapper:
         pending = None  # (names, lens, flat result, loci or None)
 
         def dispatch(bn: "_Bin"):
-            packed_d = jnp.asarray(pack4_host(bn.buf))
-            lens_d = jnp.asarray(
-                np.asarray(bn.lens + [0] * (B - len(bn.lens)), dtype=np.int32)
-            )
+            packed_host = pack4_host(bn.buf)
+            packed_d = jnp.asarray(packed_host)
+            lens_host = np.asarray(bn.lens + [0] * (B - len(bn.lens)), dtype=np.int32)
+            lens_d = jnp.asarray(lens_host)
             flat = map_batch_packed(
                 packed_d, lens_d, self.index, self.ref_lens, p, bn.cap, bn.L
             )
@@ -196,23 +196,42 @@ class Mapper:
                 loci = read_stats_batch(
                     unpack4(packed_d, bn.L), lens_d, self.index, p, bn.cap
                 )
-            out = (bn.names, bn.lens, flat, loci)
+            out = (bn.names, bn.lens, flat, loci, packed_host, lens_host, bn.cap, bn.L)
             bn.names, bn.lens = [], []
             bn.buf = np.full((B, bn.L), 4, dtype=np.uint8)
             return out
 
         def finalize(item):
-            f_names, f_lens, flat, loci = item
-            res = unflatten_map_result(np.asarray(flat))  # the ONE d2h pull
-            ovf = np.asarray(res.overflow)[: len(f_names)]
-            if ovf.any():
+            f_names, f_lens, flat, loci, packed_host, lens_host, cap0, Lb = item
+            flat_h = np.array(flat)  # the ONE d2h pull (writable copy: overflow
+                                     # retry patches rows in place)
+            # overflow retry (mirrors the index builder's doubled-cap retry,
+            # index/build.py): a clipped read's PAF line may be wrong, so clipped
+            # reads are re-dispatched at doubled caps until none overflow — never
+            # emit a possibly-clipped mapping
+            cap = cap0
+            while flat_h[: len(f_names), 9].any() and cap < Lb:
+                cap = min(cap * 2, Lb)
                 import sys
 
+                rows = np.nonzero(flat_h[: len(f_names), 9])[0]
                 print(
-                    f"Warning: seed cap clipped {int(ovf.sum())} read(s); raise "
-                    f"max_minimizers or density-derived caps (Params.auto) for exactness.",
+                    f"seed cap {cap // 2} clipped {rows.size} read(s); remapping "
+                    f"them at cap {cap}",
                     file=sys.stderr,
                 )
+                rbuf = np.zeros_like(packed_host)
+                rbuf[: rows.size] = packed_host[rows]
+                rlens = np.zeros_like(lens_host)
+                rlens[: rows.size] = lens_host[rows]
+                rflat = np.asarray(
+                    map_batch_packed(
+                        jnp.asarray(rbuf), jnp.asarray(rlens), self.index,
+                        self.ref_lens, p, cap, Lb,
+                    )
+                )
+                flat_h[rows] = rflat[: rows.size]
+            res = unflatten_map_result(flat_h)
             if loci is not None:
                 stats.write_batch(f_names, np.asarray(loci)[: len(f_names)])
             return format_paf(f_names, f_lens, res, self.meta)

@@ -62,6 +62,12 @@ class SeedBatch(NamedTuple):
     n: jax.Array      # int32  [B] number of valid k-min-mers (clipped to cap)
     overflow: jax.Array  # bool [B] True if the minimizer cap clipped this sequence
                          # (the reference has no cap — callers must detect & retry)
+    tail_start: jax.Array = None  # int32 [B] base-space start of the first minimizer
+                                  # whose k-min-mer was NOT emitted (ordinal n), or
+                                  # 2^31-1 if none. The index builder uses it to
+                                  # detect halo-dropped window-spanning k-min-mers:
+                                  # a window truncated by the halo (not contig end)
+                                  # with tail_start < core_end dropped an owned seed.
 
 
 def _rol32(x: jax.Array, r: jax.Array) -> jax.Array:
@@ -282,15 +288,17 @@ def seed_batch_packed_flat(
     packed: jax.Array, lengths: jax.Array, p: Params, cap: int, L: int
 ) -> jax.Array:
     """Transfer-optimized extraction: 4-bit-packed codes in, ONE flat int32
-    [B, 5*cap + 2] array out ([h1, h2, start, end, rev] columns then n, overflow).
-    Device->host pulls cost ~300-400ms latency each through this environment's
-    tunnel, so the index builder pulls exactly one array per window batch."""
+    [B, 5*cap + 3] array out ([h1, h2, start, end, rev] columns then n, overflow,
+    tail_start). Device->host pulls cost ~300-400ms latency each through this
+    environment's tunnel, so the index builder pulls exactly one array per window
+    batch."""
     sb = seed_batch(unpack4(packed, L), lengths, p, cap)
     flat = jnp.concatenate(
         [
             sb.h1.astype(jnp.int32), sb.h2.astype(jnp.int32),
             sb.start, sb.end, sb.rev.astype(jnp.int32),
             sb.n[:, None], sb.overflow.astype(jnp.int32)[:, None],
+            sb.tail_start[:, None],
         ],
         axis=1,
     )
@@ -306,7 +314,8 @@ def unflatten_seed_batch(flat: np.ndarray, cap: int):
     rev = flat[:, 4 * cap : 5 * cap].astype(bool)
     n = flat[:, 5 * cap]
     overflow = flat[:, 5 * cap + 1].astype(bool)
-    return h1, h2, start, end, rev, n, overflow
+    tail_start = flat[:, 5 * cap + 2]
+    return h1, h2, start, end, rev, n, overflow, tail_start
 
 
 @functools.partial(jax.jit, static_argnames=("p", "cap"))
@@ -346,6 +355,13 @@ def seed_batch(codes: jax.Array, lengths: jax.Array, p: Params, cap: int) -> See
     slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
     ok = slot < n[:, None]
     zero32 = jnp.zeros_like(h1)
+    # start of the first UNemitted k-min-mer (minimizer ordinal n): masked min over
+    # the last min(k-1, mn) minimizer slots (starts are ascending, so the min over
+    # ordinals [max(mn-k+1,0), mn) is the ordinal-(mn-k+1) start) — elementwise +
+    # reduce, no gather (gathers cost ~1.4 ms each on this device)
+    tail_lo = jnp.maximum(mn - (k - 1), 0)[:, None]
+    tail_mask = (slot >= tail_lo) & (slot < mn[:, None])
+    tail_start = jnp.min(jnp.where(tail_mask, mstart, _BIG_I32), axis=1)
     return SeedBatch(
         h1=jnp.where(ok, h1, zero32),
         h2=jnp.where(ok, h2, zero32),
@@ -354,4 +370,5 @@ def seed_batch(codes: jax.Array, lengths: jax.Array, p: Params, cap: int) -> See
         rev=ok & rev,
         n=n,
         overflow=mn_true > cap,
+        tail_start=tail_start,
     )

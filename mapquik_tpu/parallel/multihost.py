@@ -49,7 +49,25 @@ def init_distributed(
             coordinator_address=addr, num_processes=nproc, process_id=pid
         )
         return True
-    except Exception:
+    except RuntimeError as e:
+        if "already initialized" in str(e):
+            return True
+        raise
+    except Exception as e:
+        if addr is not None or nproc is not None:
+            # the user explicitly configured multi-process: degrading to a silent
+            # single-host run would duplicate every shard's work — fail loudly
+            raise RuntimeError(
+                f"jax.distributed.initialize failed for coordinator={addr!r} "
+                f"num_processes={nproc!r} process_id={pid!r}: {e}"
+            ) from e
+        import sys
+
+        print(
+            f"Warning: jax.distributed autodetection failed ({e}); "
+            "continuing single-host.",
+            file=sys.stderr,
+        )
         return False
 
 

@@ -42,8 +42,12 @@ class Params:
     # seeding program (compiles go through a slow relay on this TPU environment;
     # one shape, one compile).
     ref_window: int = (1 << 15) - 8192  # reference extraction window (bases, core)
-    ref_halo: int = 8192             # right halo so window-spanning k-min-mers are seen
-                                     # (max k-min-mer span ~ (k-1)/d + l << 8192 at defaults)
+    ref_halo: int = 8192             # right halo so window-spanning k-min-mers are seen;
+                                     # must exceed the k-min-mer span ((k-1)/density + l
+                                     # HPC chars, inflated to base space) — validated in
+                                     # __post_init__, derived in Params.auto, and
+                                     # runtime-checked (SeedBatch.tail_start drop
+                                     # detection in index/build.py retries with 2x halo)
     ref_window_minimizers: int = 1 << 9  # minimizer cap per reference window
 
     def __post_init__(self):
@@ -60,6 +64,33 @@ class Params:
                 raise ValueError("length_bins must be < max_read_len")
             if b > 512 and b % 512:
                 raise ValueError("length bins must be multiples of 512 (scan blocking)")
+        if self.ref_halo < self.min_ref_halo:
+            raise ValueError(
+                f"ref_halo={self.ref_halo} is below the mean k-min-mer span "
+                f"{self.min_ref_halo} at k={self.k} density={self.density:g}: "
+                "window-spanning k-min-mers would be dropped from the index. "
+                "Use Params.auto (derives ref_halo) or raise ref_halo."
+            )
+
+    @property
+    def min_ref_halo(self) -> int:
+        """Mean base-space k-min-mer span: (k-1)/density inter-minimizer gaps + l,
+        in HPC chars (base-space spans are >= HPC spans). A halo below this drops
+        roughly half of all window-boundary k-min-mers — reject outright."""
+        return int((self.k - 1) / self.density) + self.l
+
+    @property
+    def safe_ref_halo(self) -> int:
+        """Halo sized so a window-spanning k-min-mer drop is vanishingly rare:
+        4x the mean HPC-space span (the (k-1)-fold geometric gap sum has
+        P[span > 4*mean] < ~1e-9 at default k) times 2 for HPC->base inflation
+        (expected run length on DNA is ~4/3; 2x covers skewed composition).
+        Residual risk is runtime-checked: index/build.py detects any actual drop
+        via SeedBatch.tail_start and retries the contig with a doubled halo."""
+        import math
+
+        hpc_span = 4.0 * (self.k - 1) / self.density + self.l
+        return max(8192, 1 << math.ceil(math.log2(2.0 * hpc_span)))
 
     @property
     def min_seq_len(self) -> int:
@@ -78,12 +109,24 @@ class Params:
         minimizer caps are sized so the Binomial(L, density) seed count exceeds them
         with negligible probability (mean + 6σ + headroom, rounded up to a power of
         two). Runtime overflow detection (SeedBatch.overflow) catches the residue."""
-        probe = cls(**kw)
+        semantic = {
+            k_: v for k_, v in kw.items()
+            if k_ in ("k", "l", "density", "use_hpc", "max_read_len")
+        }
+        probe = cls(**{**semantic, "ref_halo": 1 << 30, "ref_window": 1 << 30})
+        if "ref_halo" not in kw:
+            kw["ref_halo"] = probe.safe_ref_halo
+        if "ref_window" not in kw:
+            # keep (core + halo) == max_read_len when possible so index build and
+            # read mapping share one compiled seeding program; at very low density
+            # the halo outgrows that and the window must widen with it
+            kw["ref_window"] = max(probe.max_read_len - kw["ref_halo"], kw["ref_halo"])
+        probe2 = cls(**kw)
         if "max_minimizers" not in kw:
-            kw["max_minimizers"] = _seed_cap(probe.max_read_len, probe.density, probe.k)
+            kw["max_minimizers"] = _seed_cap(probe2.max_read_len, probe2.density, probe2.k)
         if "ref_window_minimizers" not in kw:
             kw["ref_window_minimizers"] = _seed_cap(
-                probe.ref_window + probe.ref_halo, probe.density, probe.k
+                probe2.ref_window + probe2.ref_halo, probe2.density, probe2.k
             )
         return cls(**kw)
 

@@ -161,6 +161,45 @@ def test_shard_fastq_quality_at_signs(tmp_path):
     assert [n for n, _ in got] == [f"r{i}" for i in range(20)]
 
 
+def test_shard_fastq_plus_description(tmp_path):
+    # valid FASTQ allows '+description' separator lines; shard offsets must use
+    # the separator's real length or boundary records get double-owned
+    path = str(tmp_path / "plusdesc.fastq")
+    with open(path, "w") as f:
+        for i in range(24):
+            seq = "ACGT" * (20 + i)
+            f.write(f"@r{i}\n{seq}\n+r{i} description text\n{'I' * len(seq)}\n")
+    for n_shards in (2, 3, 5):
+        got = []
+        for s in range(n_shards):
+            got.extend(iter_fastx_shard(path, s, n_shards))
+        assert [n for n, _ in got] == [f"r{i}" for i in range(24)], n_shards
+
+
+def test_index_load_refuses_pickles(tmp_path):
+    # saved indexes must be loadable with allow_pickle=False (a shared index
+    # file must never be able to execute code)
+    p = Params(k=5, l=17, density=0.05, max_read_len=1 << 13)
+    genome = [("ctgA", b"ACGTTGCA" * 800), ("ctgB", b"TTGACCAG" * 700)]
+    idx, meta = build_index(genome, p)
+    path = str(tmp_path / "idx.npz")
+    save_index(path, idx, meta, params_key(p))
+    idx2, meta2 = load_index(path, params_key(p))
+    assert meta2.names == meta.names
+    z = np.load(path, allow_pickle=False)  # must not raise
+    assert str(z["names"].dtype).startswith("<U") or z["names"].dtype.kind == "U"
+
+
+def test_params_auto_derives_halo():
+    # low density -> long k-min-mer spans -> auto must widen ref_halo
+    p = Params.auto(k=7, density=0.001)
+    assert p.ref_halo >= 4 * int((p.k - 1) / p.density)
+    assert p.ref_window >= p.ref_halo
+    # and a manifestly unsafe halo is rejected outright
+    with pytest.raises(ValueError, match="ref_halo"):
+        Params(k=7, density=0.0005)
+
+
 def test_lz4_roundtrip_fastx(tmp_path):
     from mapquik_tpu.io import lz4frame
 

@@ -181,6 +181,56 @@ class TestRealSequenceSelfMapping:
         assert n_self >= 10
 
 
+class TestOverflowRetry:
+    def test_tiny_cap_still_oracle_identical(self, genome, reads):
+        """A cap small enough to clip most reads must trigger the doubled-cap
+        remap (ops/pipeline.py finalize) and still emit oracle-identical PAF —
+        never a clipped mapping (the repo invariant: silent clipping = silent
+        wrong output)."""
+        p_tiny = Params(**{**P.__dict__, "max_minimizers": 64})
+        ref_mapper = Mapper(genome, P)
+        mapper = Mapper.from_index(ref_mapper.index, ref_mapper.meta, p_tiny)
+        lines_tiny = sorted(mapper.map_reads(reads))
+        lines_ref = sorted(ref_mapper.map_reads(reads))
+        assert lines_tiny == lines_ref
+        assert len(lines_tiny) > 30
+
+    def test_overflow_actually_fires(self, genome, reads, capsys):
+        import sys
+
+        p_tiny = Params(**{**P.__dict__, "max_minimizers": 64})
+        ref_mapper = Mapper(genome, P)
+        mapper = Mapper.from_index(ref_mapper.index, ref_mapper.meta, p_tiny)
+        list(mapper.map_reads(reads))
+        err = capsys.readouterr().err
+        assert "clipped" in err and "remapping" in err
+
+
+class TestHaloDropRetry:
+    def test_small_halo_retries_to_exact_index(self):
+        """A halo below the typical k-min-mer span must be DETECTED (via
+        SeedBatch.tail_start) and retried with a doubled halo until the index
+        equals whole-contig extraction (index/build.py drop detection)."""
+        from mapquik_tpu.eval.simulate import markov_genome
+        from mapquik_tpu.index.build import extract_contig_kminmers
+
+        genome = markov_genome(60_000, seed=31, n_contigs=1)
+        codes = o.encode(genome[0][1])
+        # low density -> long spans; min_ref_halo = (k-1)/d + l = 431
+        p_small = Params(
+            k=5, l=31, density=0.01, ref_window=2048, ref_halo=512,
+            ref_window_minimizers=1 << 10, max_read_len=1 << 13,
+        )
+        # whole-contig ground truth: one window covering everything
+        p_whole = Params(**{**p_small.__dict__, "ref_window": 1 << 17,
+                            "ref_halo": 8192})
+        got = extract_contig_kminmers(codes, p_small)
+        want = extract_contig_kminmers(codes, p_whole)
+        assert got[0].shape[0] == want[0].shape[0] > 100
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestLengthBins:
     def test_binned_output_equals_unbinned(self, genome):
         """Mixed-length reads through length bins: same PAF line set as single-bin."""

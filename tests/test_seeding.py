@@ -91,7 +91,7 @@ class TestSeedBatch:
         codes, lens = pad_batch(seqs, 4096)
         cap = 512
         sb = seeding.seed_batch(codes, lens, p, cap)
-        h1, h2, st, en, rv, n, _ = (np.asarray(x) for x in sb)
+        h1, h2, st, en, rv, n, _, _ = (np.asarray(x) for x in sb)
         for i, s in enumerate(seqs):
             ks = o.kminmers(s, p)
             assert n[i] == len(ks), f"seq {i}: {n[i]} != {len(ks)}"
