@@ -137,6 +137,7 @@ def _extract_contig_once(
     def consume(item):
         chunk, packed, lens_d, flat_d = item
         bcap = cap
+        attempt = 0
         while True:
             flat = np.asarray(flat_d)
             h1, h2, st, en, rv, n, ovf, tail = seeding.unflatten_seed_batch(flat, bcap)
@@ -144,9 +145,14 @@ def _extract_contig_once(
                 break
             # cap clipped a window (possible when density far exceeds the params'
             # sizing assumptions) — retry this batch with a doubled cap; exactness
-            # beats the recompile cost of a rare event
+            # beats the recompile cost of a rare event. From the second retry on,
+            # also force the uncompacted seeding path: the overflow may be the
+            # Pallas per-block compaction cap, which no seed cap can fix.
             bcap *= 2
-            flat_d = seeding.seed_batch_packed_flat(packed, lens_d, p, bcap, L)
+            attempt += 1
+            flat_d = seeding.seed_batch_packed_flat(
+                packed, lens_d, p, bcap, L, attempt < 2
+            )
         for bi, (cs, ce, se) in enumerate(chunk):
             # a window truncated by the halo (not by contig end) whose first
             # UNemitted k-min-mer starts before core_end dropped an owned seed

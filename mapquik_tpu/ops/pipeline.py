@@ -25,7 +25,7 @@ from .matching import find_matches
 from .seeding import seed_batch
 
 
-@functools.partial(jax.jit, static_argnames=("p", "cap"))
+@functools.partial(jax.jit, static_argnames=("p", "cap", "use_pallas"))
 def map_batch(
     codes: jax.Array,     # uint8 [B, L]
     lengths: jax.Array,   # int32 [B]
@@ -33,8 +33,9 @@ def map_batch(
     ref_lens: jax.Array,  # int32/int64 [n_refs]
     p: Params,
     cap: int,
+    use_pallas: bool = True,
 ) -> MapResult:
-    sb = seed_batch(codes, lengths, p, cap)
+    sb = seed_batch(codes, lengths, p, cap, use_pallas)
     if isinstance(index, HashIndex):
         pr = probe_hash(index, sb.h1, sb.h2)
     else:
@@ -44,7 +45,7 @@ def map_batch(
     return project_coords(sel, lengths, ref_lens)._replace(overflow=sb.overflow)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "cap", "L"))
+@functools.partial(jax.jit, static_argnames=("p", "cap", "L", "use_pallas"))
 def map_batch_packed(
     packed: jax.Array,    # uint8 [B, L//2] (4-bit packed codes, pack4_host)
     lengths: jax.Array,   # int32 [B]
@@ -53,6 +54,7 @@ def map_batch_packed(
     p: Params,
     cap: int,
     L: int,
+    use_pallas: bool = True,
 ) -> jax.Array:
     """Transfer-optimized map_batch for the streaming driver: 4-bit-packed codes in
     (halves the upload), ONE flat int32 [B, 10] result out (each device->host pull
@@ -61,7 +63,7 @@ def map_batch_packed(
     r_start, r_end, score, mapq, overflow."""
     from .seeding import unpack4
 
-    res = map_batch(unpack4(packed, L), lengths, index, ref_lens, p, cap)
+    res = map_batch(unpack4(packed, L), lengths, index, ref_lens, p, cap, use_pallas)
     return jnp.stack(
         [
             res.mapped.astype(jnp.int32), res.rc.astype(jnp.int32),
@@ -210,8 +212,10 @@ class Mapper:
             # reads are re-dispatched at doubled caps until none overflow — never
             # emit a possibly-clipped mapping
             cap = cap0
+            attempt = 0
             while flat_h[: len(f_names), 9].any() and cap < Lb:
                 cap = min(cap * 2, Lb)
+                attempt += 1
                 import sys
 
                 rows = np.nonzero(flat_h[: len(f_names), 9])[0]
@@ -224,10 +228,13 @@ class Mapper:
                 rbuf[: rows.size] = packed_host[rows]
                 rlens = np.zeros_like(lens_host)
                 rlens[: rows.size] = lens_host[rows]
+                # attempt >= 2: the overflow may be the Pallas per-block
+                # compaction cap (satellite repeats), which a bigger seed cap
+                # cannot fix — force the uncompacted path
                 rflat = np.asarray(
                     map_batch_packed(
                         jnp.asarray(rbuf), jnp.asarray(rlens), self.index,
-                        self.ref_lens, p, cap, Lb,
+                        self.ref_lens, p, cap, Lb, attempt < 2,
                     )
                 )
                 flat_h[rows] = rflat[: rows.size]

@@ -223,12 +223,78 @@ def _compact_positions(sel: jax.Array, cap: int):
     return out, jnp.minimum(n, cap)
 
 
-def minimizers_batch(codes: jax.Array, lengths: jax.Array, p: Params, cap: int):
+def _pack_ck(codes: jax.Array, lengths: jax.Array, p: Params) -> jax.Array:
+    """Pack (code | run_start_flag << 3) bytes for the compaction kernel, with
+    an INVALID right pad of pallas_seeding._H lanes. The INVALID padding run
+    starts exactly at each row's length, so the kernel's end-coordinate and
+    sequence-end handling need no separate length input."""
+    from .pallas_seeding import _H
+
+    B, L = codes.shape
+    ext = jnp.concatenate(
+        [codes, jnp.full((B, _H), np.uint8(INVALID), codes.dtype)], axis=1
+    )
+    pos = jnp.arange(L + _H, dtype=jnp.int32)[None, :]
+    inb = pos < lengths[:, None]
+    ext = jnp.where(inb, ext, np.uint8(INVALID))
+    if p.use_hpc:
+        prev = jnp.concatenate(
+            [jnp.full((B, 1), 255, dtype=ext.dtype), ext[:, :-1]], axis=1
+        )
+        keep = ext != prev
+    else:
+        # every in-bounds position is its own run, plus the padding run at len
+        keep = pos <= lengths[:, None]
+    return ext | (keep.astype(jnp.uint8) << np.uint8(3))
+
+
+def _minimizers_compact_pallas(codes, lengths, p: Params, cap: int):
+    """Kernel-compacted minimizer path: HPC + ntHash + density selection in one
+    block-parallel Pallas pass; no [B, L] sort, no [B, L] u32 plane anywhere."""
+    from . import pallas_seeding
+    from .pallas_seeding import _MARKER, seed_select_compact
+
+    B, L = codes.shape
+    ck = _pack_ck(codes, lengths, p)
+    poskey, canon, pse = seed_select_compact(
+        ck, p.l, p.hash_threshold, L,
+        interpret=pallas_seeding._INTERPRET,
+    )
+    pk, ch, ps = jax.lax.sort([poskey, canon, pse], dimension=1, num_keys=1)
+    nbK = pk.shape[1]
+    take = min(cap, nbK)
+    pkc, chc, psc = pk[:, :take], ch[:, :take], ps[:, :take]
+    if cap > nbK:
+        pad = ((0, 0), (0, cap - nbK))
+        pkc = jnp.pad(pkc, pad, constant_values=_BIG_I32)
+        chc = jnp.pad(chc, pad)
+        psc = jnp.pad(psc, pad)
+    validk = pkc < _MARKER
+    mhash = chc
+    mstart = jnp.where(validk, psc >> 16, 0)
+    mend = jnp.where(validk, psc & np.int32(0xFFFF), 0)
+    n_sel = jnp.sum((poskey < _MARKER).astype(jnp.int32), axis=1)
+    block_ovf = jnp.any(poskey == _MARKER, axis=1)
+    mn = jnp.minimum(n_sel, cap)
+    # a block-compaction overflow (>128 selected in one 512-lane block — only
+    # satellite-like repeats do this) forces the caller's overflow retry, which
+    # falls back to the uncompacted path (use_pallas=False) for exactness
+    mn_true = jnp.where(block_ovf, np.int32(cap + 1), n_sel)
+    return mhash, mstart, mend, mn, mn_true
+
+
+def minimizers_batch(
+    codes: jax.Array, lengths: jax.Array, p: Params, cap: int, use_pallas: bool = True
+):
     """Density-selected minimizers, compacted to [B, cap].
 
     Returns (mhash u32, mstart i32, mend i32, mn i32[B]).
     """
     B, L = codes.shape
+    from .pallas_seeding import compact_available, nthash_sel_pallas, pallas_available
+
+    if use_pallas and compact_available(B, L, p.l):
+        return _minimizers_compact_pallas(codes, lengths, p, cap)
     if p.use_hpc:
         hcodes, run_start, _, _ = hpc_compact(codes, lengths)
     else:
@@ -236,9 +302,8 @@ def minimizers_batch(codes: jax.Array, lengths: jax.Array, p: Params, cap: int):
         inb = pos < lengths[:, None]
         hcodes = jnp.where(inb, codes, np.uint8(INVALID))
         run_start = jnp.broadcast_to(pos, (B, L))
-    from .pallas_seeding import nthash_sel_pallas, pallas_available
 
-    if pallas_available(B, L, p.l):
+    if use_pallas and pallas_available(B, L, p.l):
         # fused Pallas path (TPU): canon + density-selected sort key in one pass
         canon, selkey = nthash_sel_pallas(hcodes, p.l, p.hash_threshold)
         skey = jax.lax.sort(selkey, dimension=1)[:, : min(cap, L)]
@@ -283,16 +348,17 @@ def _shift_left(x: jax.Array, i: int, fill):
     return jnp.concatenate([x[:, i:], pad], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "cap", "L"))
+@functools.partial(jax.jit, static_argnames=("p", "cap", "L", "use_pallas"))
 def seed_batch_packed_flat(
-    packed: jax.Array, lengths: jax.Array, p: Params, cap: int, L: int
+    packed: jax.Array, lengths: jax.Array, p: Params, cap: int, L: int,
+    use_pallas: bool = True,
 ) -> jax.Array:
     """Transfer-optimized extraction: 4-bit-packed codes in, ONE flat int32
     [B, 5*cap + 3] array out ([h1, h2, start, end, rev] columns then n, overflow,
     tail_start). Device->host pulls cost ~300-400ms latency each through this
     environment's tunnel, so the index builder pulls exactly one array per window
     batch."""
-    sb = seed_batch(unpack4(packed, L), lengths, p, cap)
+    sb = seed_batch(unpack4(packed, L), lengths, p, cap, use_pallas)
     flat = jnp.concatenate(
         [
             sb.h1.astype(jnp.int32), sb.h2.astype(jnp.int32),
@@ -318,16 +384,22 @@ def unflatten_seed_batch(flat: np.ndarray, cap: int):
     return h1, h2, start, end, rev, n, overflow, tail_start
 
 
-@functools.partial(jax.jit, static_argnames=("p", "cap"))
-def seed_batch(codes: jax.Array, lengths: jax.Array, p: Params, cap: int) -> SeedBatch:
+@functools.partial(jax.jit, static_argnames=("p", "cap", "use_pallas"))
+def seed_batch(
+    codes: jax.Array, lengths: jax.Array, p: Params, cap: int,
+    use_pallas: bool = True,
+) -> SeedBatch:
     """codes u8 [B, L], lengths i32 [B] -> SeedBatch with M = cap slots.
 
     Slot j is the k-min-mer with offset j (reference: ordinal in the sequence's
     k-min-mer list). Matches oracle `kminmers` exactly for reads whose minimizer
-    count fits the cap.
+    count fits the cap. use_pallas=False forces the pure-XLA path (used by
+    overflow retries: the kernel block compaction caps per-block seeds).
     """
     k = p.k
-    mhash, mstart, mend, mn, mn_true = minimizers_batch(codes, lengths, p, cap)
+    mhash, mstart, mend, mn, mn_true = minimizers_batch(
+        codes, lengths, p, cap, use_pallas
+    )
     # window views W_i[:, j] = mhash[:, j + i]
     W = [_shift_left(mhash, i, 0) for i in range(k)]
     # lexicographic fwd-vs-reversed comparison
