@@ -215,12 +215,14 @@ def pallas_available(B: int, L: int, l: int) -> bool:
 #     homopolymer-rich STR regions): MARKER flag.
 # ---------------------------------------------------------------------------
 
-_K = 128                        # compacted seeds per 512-lane block (lane-tile width)
+_K = 256                        # compacted seeds per block (lane-tile width)
 _MARKER = np.int32(0x7FFFFFFE)  # poskey flag: fall back to the uncompacted path
 _H = 256                        # right-halo lanes: >= l runs ahead of any owned
                                 # entry for run density >= l/_H (~0.12; random DNA
                                 # is ~0.75) — rarer regions hit the MARKER fallback
-_WC = _BLK + _H                 # compaction window width
+_CBLK = 1024                    # compaction kernel core width (wider than the
+                                # round-1 kernels' 512: amortizes the halo)
+_WC = _CBLK + _H                # compaction window width
 
 _INTERPRET = False  # test hook: run the compaction kernels interpreted on CPU
 
@@ -289,54 +291,86 @@ def _compact_logshift(sel_i, lane, width, planes, fills):
     return planes, r
 
 
+_FILL1 = np.int32((0x0FFFFFFF << 3) | INVALID)  # compaction-1 hole: far pos + INVALID
+
+
+def _window_xor(v, l, delta):
+    """X[t] = xor_{i<l} rol32(v[t+i], (delta*i) % 32), by binary doubling:
+    X_{m+n}[t] = X_m[t] ^ rol(X_n[t+m], delta*m). ~2*log2(l) cheap ops instead
+    of an l-term unrolled loop or a shift-scan (two xor scans in one kernel
+    SIGABRT Mosaic; this needs zero)."""
+    X = {1: v}
+    m = 1
+    while m * 2 <= l:
+        X[2 * m] = X[m] ^ _rol32(
+            pltpu.roll(X[m], _WC - m, axis=1), jnp.uint32((delta * m) % 32)
+        )
+        m *= 2
+    acc = None
+    off = 0
+    for b in (32, 16, 8, 4, 2, 1):
+        if l & b:
+            piece = X[b] if off == 0 else _rol32(
+                pltpu.roll(X[b], _WC - off, axis=1), jnp.uint32((delta * off) % 32)
+            )
+            acc = piece if acc is None else acc ^ piece
+            off += b
+    return acc
+
+
+def _window_or(v, l):
+    """OR over the l-entry window, same doubling structure."""
+    X = {1: v}
+    m = 1
+    while m * 2 <= l:
+        X[2 * m] = X[m] | pltpu.roll(X[m], _WC - m, axis=1)
+        m *= 2
+    acc = None
+    off = 0
+    for b in (32, 16, 8, 4, 2, 1):
+        if l & b:
+            piece = X[b] if off == 0 else pltpu.roll(X[b], _WC - off, axis=1)
+            acc = piece if acc is None else acc | piece
+            off += b
+    return acc
+
+
 def _kernel_seed_compact(
-    l: int, threshold: int, ck_ref, look1_ref, look2_ref,
-    pos_out, canon_out, pse_out,
+    l: int, threshold: int, ck_ref, look1_ref, look2_ref, canon_out, pse_out,
 ):
     """One pass: HPC compaction + canonical ntHash + density selection +
     minimizer compaction, all in VMEM over a 512-core + 256-halo window.
 
     ck: u8 (code | run_start_flag << 3) per base, INVALID-padded (io prep in
-    seeding._pack_ck). Outputs: per-block [32, _K] (poskey, canon, pse)."""
+    seeding._pack_ck). Outputs per block [32, _K]: canon (u32 hash) and pse
+    ((start<<16)|end packed coords; 0x7FFFFFFF = empty slot, 0x7FFFFFFE =
+    fallback marker). pse is also the position sort key."""
     j = pl.program_id(1)
     ck = jnp.concatenate(
         [ck_ref[:, :], look1_ref[:, :], look2_ref[:, :]], axis=1
     ).astype(jnp.int32)
-    code = ck & 7
     keep = (ck >> 3) & 1
     lane = _lane((_SUB, _WC))
-    gpos = lane + j * _BLK
+    gpos = lane + j * _CBLK
 
-    # --- compaction 1: homopolymer runs -> (pos_s, code_s) streams ---
-    (pos_s, code_s), r1 = _compact_logshift(
-        keep, lane, _WC, [gpos, code], [_BIG, jnp.int32(INVALID)]
-    )
+    # --- compaction 1: homopolymer runs -> packed (pos<<3 | code) stream ---
+    (vs,), r1 = _compact_logshift(keep, lane, _WC, [(gpos << 3) | (ck & 7)], [_FILL1])
     c_total = r1[:, _WC - 1 : _WC]
+    pos_s = vs >> 3
+    code_s = vs & 7
 
     # --- canonical ntHash of every l-run window of the compacted stream ---
-    # fwd via one xor shift-scan with LOCAL phase (cancels per entry);
-    # rev + invalid-count unrolled (a second xor scan SIGABRTs Mosaic)
     sa = _seed_select(code_s, SEED32).astype(jnp.uint32)
     sc = _seed_select(code_s, SEED32C).astype(jnp.uint32)
-    a = _rol32(sa, (l - 1 - lane) % 32)
-    pa = _xor_scan(a, lane)
-    hi = pltpu.roll(pa, _WC - (l - 1), axis=1)  # prefix at t + l - 1
-    lo = jnp.where(lane >= 1, pltpu.roll(pa, 1, axis=1), jnp.uint32(0))
-    wa = _rol32(hi ^ lo, lane % 32)
-    bad = (code_s == INVALID).astype(jnp.int32)
-    wb = jnp.zeros((_SUB, _WC), jnp.uint32)
-    badw = jnp.zeros((_SUB, _WC), jnp.int32)
-    for i in range(l):
-        sc_i = pltpu.roll(sc, _WC - i, axis=1) if i else sc
-        bad_i = pltpu.roll(bad, _WC - i, axis=1) if i else bad
-        wb = wb ^ _rol32(sc_i, jnp.uint32(i % 32))
-        badw = badw + bad_i
+    wa = _rol32(_window_xor(sa, l, -1), jnp.uint32((l - 1) % 32))
+    wb = _window_xor(sc, l, 1)
+    badw = _window_or((code_s == INVALID).astype(jnp.int32), l)
     canon = _umin(wa, wb)
 
     # --- density selection over OWNED entries (pos in this block's core) ---
     # windows running into holes/padding have badw > 0 (holes carry INVALID),
     # so completeness and sequence-end handling are organic
-    block_end = (j + 1) * _BLK
+    block_end = (j + 1) * _CBLK
     sel_i = _and_i32(
         pos_s < block_end,
         badw == 0,
@@ -349,10 +383,8 @@ def _kernel_seed_compact(
     pse = (pos_s << 16) | pos_l
 
     # --- compaction 2: selected minimizers -> output slots ---
-    (poskey, canon_v, pse_v), r2 = _compact_logshift(
-        sel_i, lane, _WC,
-        [pos_s, canon, pse],
-        [_BIG, jnp.uint32(0), jnp.int32(0)],
+    (canon_v, pse_v), r2 = _compact_logshift(
+        sel_i, lane, _WC, [canon, pse], [jnp.uint32(0), _BIG]
     )
     count2 = jnp.broadcast_to(r2[:, _WC - 1 : _WC], (_SUB, _WC))
 
@@ -360,33 +392,31 @@ def _kernel_seed_compact(
     # (a) more than _K selected in this block;
     # (b) an owned valid-code entry's l-run window ran out of local stream
     #     while the stream did NOT end at the sequence end (halo exhausted)
-    lanec = lane
     need = _and_i32(
-        pos_s < block_end, code_s != INVALID, (lanec + l) >= c_total
+        pos_s < block_end, code_s != INVALID, (lane + l) >= c_total
     )
     any_need = jnp.broadcast_to(
         jnp.max(need, axis=1, keepdims=True), (_SUB, _WC)
     )
-    last_inval = _and_i32(lanec == (c_total - 1), code_s == INVALID)
+    last_inval = _and_i32(lane == (c_total - 1), code_s == INVALID)
     stream_eof = jnp.broadcast_to(
         jnp.max(last_inval, axis=1, keepdims=True), (_SUB, _WC)
     )
     mark = _and_i32(
         jnp.logical_or(count2 > _K, (any_need > 0) & (stream_eof == 0)),
-        lanec == _K - 1,
+        lane == _K - 1,
     ) != 0
-    poskey = jnp.where(mark, _MARKER, poskey)
-    pos_out[:, :] = poskey[:, :_K]
+    pse_v = jnp.where(mark, _MARKER, pse_v)
     canon_out[:, :] = canon_v[:, :_K]
     pse_out[:, :] = pse_v[:, :_K]
 
 
 def _specs_compact():
     ispec = [
-        pl.BlockSpec((_SUB, _BLK), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_SUB, 128), lambda i, j: (i, (j * _BLK + _BLK) // 128),
+        pl.BlockSpec((_SUB, _CBLK), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_SUB, 128), lambda i, j: (i, (j * _CBLK + _CBLK) // 128),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((_SUB, 128), lambda i, j: (i, (j * _BLK + _BLK) // 128 + 1),
+        pl.BlockSpec((_SUB, 128), lambda i, j: (i, (j * _CBLK + _CBLK) // 128 + 1),
                      memory_space=pltpu.VMEM),
     ]
     ospec = pl.BlockSpec((_SUB, _K), lambda i, j: (i, j), memory_space=pltpu.VMEM)
@@ -398,32 +428,31 @@ def seed_select_compact(
     ck: jax.Array, l: int, threshold: int, L: int, interpret: bool = False,
 ):
     """Packed code|keep bytes [B, L + _H] -> per-block-compacted minimizer
-    triple, each [B, (L//512)*_K]: poskey (base-space run start, 0x7FFFFFFF
-    empty, 0x7FFFFFFE = fallback marker), canon (u32 minimizer hash), pse
-    ((start<<16)|end packed base coords). Merge across blocks with one small
-    sort keyed on poskey."""
+    pair, each [B, (L//512)*_K]: canon (u32 minimizer hash) and pse
+    ((start<<16)|end packed base coords — also the position sort key;
+    0x7FFFFFFF = empty slot, 0x7FFFFFFE = fallback marker). Merge across
+    blocks with one small sort keyed on pse."""
     B = ck.shape[0]
     assert ck.shape[1] == L + _H
     assert B % _SUB == 0 and L % _BLK == 0 and 4 <= l <= 32 and L <= (1 << 15)
-    grid = (B // _SUB, L // _BLK)
+    grid = (B // _SUB, L // _CBLK)
     ispec, ospec = _specs_compact()
-    nbK = (L // _BLK) * _K
-    poskey, canon, pse = pl.pallas_call(
+    nbK = (L // _CBLK) * _K
+    canon, pse = pl.pallas_call(
         functools.partial(_kernel_seed_compact, l, threshold),
         grid=grid,
         in_specs=ispec,
-        out_specs=[ospec, ospec, ospec],
-        out_shape=[jax.ShapeDtypeStruct((B, nbK), jnp.int32),
-                   jax.ShapeDtypeStruct((B, nbK), jnp.uint32),
+        out_specs=[ospec, ospec],
+        out_shape=[jax.ShapeDtypeStruct((B, nbK), jnp.uint32),
                    jax.ShapeDtypeStruct((B, nbK), jnp.int32)],
         interpret=interpret,
     )(ck, ck, ck)
-    return poskey, canon, pse
+    return canon, pse
 
 
 def compact_available(B: int, L: int, l: int) -> bool:
     """Shapes the compaction kernel supports, on a TPU backend."""
-    shapes_ok = B % _SUB == 0 and L % _BLK == 0 and 4 <= l <= 32 and L <= (1 << 15)
+    shapes_ok = B % _SUB == 0 and L % _CBLK == 0 and 4 <= l <= 32 and L <= (1 << 15)
     if _INTERPRET:
         return shapes_ok
     return shapes_ok and pallas_available(B, L, l)

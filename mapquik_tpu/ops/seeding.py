@@ -256,25 +256,26 @@ def _minimizers_compact_pallas(codes, lengths, p: Params, cap: int):
 
     B, L = codes.shape
     ck = _pack_ck(codes, lengths, p)
-    poskey, canon, pse = seed_select_compact(
+    canon, pse = seed_select_compact(
         ck, p.l, p.hash_threshold, L,
         interpret=pallas_seeding._INTERPRET,
     )
-    pk, ch, ps = jax.lax.sort([poskey, canon, pse], dimension=1, num_keys=1)
-    nbK = pk.shape[1]
+    # pse is both the packed coords and the position sort key (pos<<16 is the
+    # high half; empty/marker fills sort last)
+    ps, ch = jax.lax.sort([pse, canon], dimension=1, num_keys=1)
+    nbK = ps.shape[1]
     take = min(cap, nbK)
-    pkc, chc, psc = pk[:, :take], ch[:, :take], ps[:, :take]
+    psc, chc = ps[:, :take], ch[:, :take]
     if cap > nbK:
         pad = ((0, 0), (0, cap - nbK))
-        pkc = jnp.pad(pkc, pad, constant_values=_BIG_I32)
+        psc = jnp.pad(psc, pad, constant_values=_BIG_I32)
         chc = jnp.pad(chc, pad)
-        psc = jnp.pad(psc, pad)
-    validk = pkc < _MARKER
+    validk = psc < _MARKER
     mhash = chc
     mstart = jnp.where(validk, psc >> 16, 0)
     mend = jnp.where(validk, psc & np.int32(0xFFFF), 0)
-    n_sel = jnp.sum((poskey < _MARKER).astype(jnp.int32), axis=1)
-    block_ovf = jnp.any(poskey == _MARKER, axis=1)
+    n_sel = jnp.sum((pse < _MARKER).astype(jnp.int32), axis=1)
+    block_ovf = jnp.any(pse == _MARKER, axis=1)
     mn = jnp.minimum(n_sel, cap)
     # a block-compaction overflow (>128 selected in one 512-lane block — only
     # satellite-like repeats do this) forces the caller's overflow retry, which

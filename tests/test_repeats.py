@@ -1,0 +1,125 @@
+"""Repeat-stressed accuracy: planted tandem arrays, segmental duplications and
+microsatellites (eval/simulate.repeat_genome) must exercise the tombstone +
+top-2-tie machinery and still give oracle-identical PAF with zero Q60-wrong.
+
+Reference analog: unique-seed tombstoning as repeat masking
+(/root/reference/src/index.rs:94-104), top-2-tie unmapping
+(/root/reference/src/mers.rs:104-108), censat Q60 analysis
+(/root/reference/experiments/table1.sh:106-129)."""
+
+import numpy as np
+import pytest
+
+from mapquik_tpu.eval.mapeval import evaluate_paf
+from mapquik_tpu.eval.simulate import (
+    read_repeat_overlap,
+    repeat_genome,
+    simulate_reads,
+)
+from mapquik_tpu.oracle import pyref as o
+from mapquik_tpu.ops.pipeline import Mapper
+from mapquik_tpu.params import Params
+
+P = Params(
+    k=5, l=17, density=0.05,
+    ref_window=1 << 14, ref_halo=1 << 12, ref_window_minimizers=1 << 12,
+    max_read_len=1 << 13, max_minimizers=1 << 10, batch_size=16,
+)
+
+
+@pytest.fixture(scope="module")
+def repeat_world():
+    genome, regions = repeat_genome(
+        160_000, seed=41, n_contigs=2,
+        tandem_arrays=3, tandem_copies=(20, 60),
+        # near-perfect monomer copies: diverged copies carry copy-private
+        # k-min-mers and legitimately map uniquely; the tombstone stress
+        # needs seeds that actually recur
+        tandem_identity=(0.999, 1.0),
+        segdups=2, segdup_len=6000, segdup_copies=(2, 4),
+        microsats=4,
+    )
+    reads = simulate_reads(genome, 64, mean_len=5000, accuracy=0.99, seed=42)
+    return genome, regions, reads
+
+
+@pytest.fixture(scope="module")
+def mapped(repeat_world):
+    genome, regions, reads = repeat_world
+    mapper = Mapper(genome, P)
+    lines = list(mapper.map_reads(reads))
+    return mapper, lines
+
+
+class TestRepeatGenome:
+    def test_regions_planted(self, repeat_world):
+        genome, regions, _ = repeat_world
+        kinds = {k for _, _, _, k in regions}
+        assert kinds == {"tandem", "segdup", "microsat"}
+        total = sum(e - s for _, s, e, _ in regions)
+        glen = sum(len(s) for _, s in genome)
+        assert 0.05 * glen < total < 0.8 * glen
+
+    def test_tombstones_stress_index(self, repeat_world, mapped):
+        """The planted repeats must actually create duplicate k-min-mers, and
+        the device tombstone count must equal the oracle's exactly."""
+        genome, _, _ = repeat_world
+        mapper, _ = mapped
+        oidx = o.build_index([o.encode(s) for _, s in genome], P)
+        total_inserted = len(oidx._d)
+        assert mapper.n_unique == oidx.n_unique()
+        assert mapper.n_unique < total_inserted  # tombstones exist
+
+
+class TestRepeatParity:
+    def test_paf_identical_to_oracle(self, repeat_world, mapped):
+        genome, _, reads = repeat_world
+        _, device_lines = mapped
+        oidx = o.build_index([o.encode(s) for _, s in genome], P)
+        refs = [o.RefInfo(nm, len(s)) for nm, s in genome]
+        oracle_lines = [
+            ln for nm, s in reads
+            if (ln := o.map_read(nm, o.encode(s), oidx, refs, P))
+        ]
+        assert sorted(device_lines) == sorted(oracle_lines)
+
+
+class TestRepeatSemantics:
+    def test_zero_q60_wrong(self, repeat_world, mapped):
+        _, _, reads = repeat_world
+        _, lines = mapped
+        ev = evaluate_paf(lines, n_reads=len(reads))
+        assert ev.q60_wrong == 0
+
+    def test_interior_repeat_reads_suppressed(self, repeat_world, mapped):
+        """Reads taken STRICTLY from inside a tandem array must come out
+        unmapped or Q0: their k-min-mers recur across monomer copies and are
+        tombstoned (or tie between copies). This is the reference's repeat
+        masking doing its job (src/index.rs:94-104)."""
+        genome, regions, _ = repeat_world
+        mapper, _ = mapped
+        gd = dict(genome)
+        interior = []
+        for name, rs, re_, kind in regions:
+            if kind == "tandem" and re_ - rs >= 3500:
+                seq = gd[name][rs + 500 : re_ - 500]
+                for off in range(0, len(seq) - 2000, 1500):
+                    interior.append(
+                        (f"interior_{name}_{rs}_{off}", seq[off : off + 2000])
+                    )
+        assert len(interior) >= 3, "fixture must contain large tandem arrays"
+        q60 = sum(
+            1 for ln in mapper.map_reads(interior) if ln.split("\t")[11] == "60"
+        )
+        assert q60 <= len(interior) // 3, (
+            f"{q60}/{len(interior)} interior repeat reads reached Q60"
+        )
+
+    def test_unique_reads_still_map(self, repeat_world, mapped):
+        _, regions, reads = repeat_world
+        _, lines = mapped
+        mapped_names = {ln.split("\t")[0] for ln in lines}
+        uniq = [nm for nm, _ in reads if read_repeat_overlap(nm, regions) == "unique"]
+        assert len(uniq) >= 10
+        frac = sum(nm in mapped_names for nm in uniq) / len(uniq)
+        assert frac >= 0.9
