@@ -58,7 +58,14 @@ def main():
     index, meta = build_index(genome, p, verbose=log)
     index = jax.tree.map(lambda x: jax.block_until_ready(x), index)
     index_s = time.time() - t0
-    log(f"index built: {index.n} k-min-mers in {index_s:.1f}s; packing batches")
+    log(f"index built: {index.n} k-min-mers in {index_s:.1f}s (cold); rebuilding for steady-state")
+    t0 = time.time()
+    index2, _ = build_index(genome, p)
+    jax.block_until_ready(index2.keys if hasattr(index2, "keys") else index2.h1)
+    index_steady_s = time.time() - t0
+    del index2
+    log(f"steady index rebuild {index_steady_s:.2f}s "
+        f"({genome_mb / index_steady_s:.1f} MB/s); packing batches")
 
     # pack all batches up front (host prep excluded from steady-state timing)
     L = p.max_read_len
@@ -96,6 +103,16 @@ def main():
         paf.extend(format_paf(nm, [int(x) for x in np.asarray(lens)], res, meta))
     ev = evaluate_paf(paf, n_reads=n_reads)
 
+    # end-to-end throughput: raw (name, seq) records through the full Mapper
+    # (host packing + dispatch + PAF text), i.e. what a CLI user gets
+    log("timing end-to-end Mapper path (host included)")
+    mapper = Mapper.from_index(index, meta, p)
+    n_e2e_lines = sum(1 for _ in mapper.map_reads(reads))  # warm bins/compiles
+    t0 = time.time()
+    n_e2e_lines = sum(1 for _ in mapper.map_reads(reads))
+    e2e_s = time.time() - t0
+    log(f"e2e: {n_reads / e2e_s:.0f} reads/s ({n_e2e_lines} PAF lines)")
+
     print(
         json.dumps(
             {
@@ -109,7 +126,10 @@ def main():
                     "n_reads": n_reads,
                     "batch": B,
                     "map_s": round(map_s, 3),
+                    "e2e_reads_per_s": round(n_reads / e2e_s, 1),
                     "index_build_s": round(index_s, 2),
+                    "index_steady_s": round(index_steady_s, 2),
+                    "index_mb_per_s_steady": round(genome_mb / index_steady_s, 1),
                     "index_kminmers": int(index.n),
                     "mapped_frac": round(ev.n_mapped / max(1, n_reads), 4),
                     "wrong": ev.n_wrong,

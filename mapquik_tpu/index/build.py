@@ -62,7 +62,18 @@ def plan_windows(codes: np.ndarray, p: Params) -> List[Tuple[int, int, int]]:
         if core_end < n:
             core_end = _snap_to_run_start(codes, core_end)
         core_end = min(core_end, n)
-        slice_end = min(core_end + p.ref_halo, n)
+        # cap the slice at exactly ref_window + halo: run-start snapping would
+        # otherwise push a few windows past the power-of-two padded length,
+        # doubling L for the whole build (and disabling the Pallas seeding
+        # path). The few snapped bases come out of the halo margin; actual
+        # halo-drop remains runtime-checked via SeedBatch.tail_start. A
+        # pathological giant homopolymer (snap > halo/2) keeps the full halo
+        # and lets L grow instead — correctness before shape reuse.
+        cap_end = core_start + p.ref_window + p.ref_halo
+        if core_end + p.ref_halo // 2 <= cap_end:
+            slice_end = min(core_end + p.ref_halo, n, cap_end)
+        else:
+            slice_end = min(core_end + p.ref_halo, n)
         out.append((core_start, core_end, slice_end))
         core_start = core_end
     return out
@@ -198,13 +209,32 @@ def build_index(
     batch_windows: int = 256,
     backend: str = "hash",
     verbose=None,
+    device: bool = None,
 ) -> Tuple[object, RefMeta]:
     """Full reference index from (name, seq) contigs. Returns (index, metadata).
 
     backend: "hash" (bucketed two-choice table; constant-depth probe, default) or
-    "sorted" (sorted pair-key array; binary-search probe)."""
+    "sorted" (sorted pair-key array; binary-search probe).
+
+    device: build fully device-resident (index/device_build.py — the fast path:
+    d2h here is ~25 MB/s, so the host path's per-window pulls dominate).
+    Default (None) = auto: device path on a TPU backend for the hash backend;
+    falls back to this host path when the device builder flags
+    overflow/halo-drop (its exactness guards)."""
     from .hashtable import build_hash_index
     from .lookup import dedup_host
+
+    if backend == "hash" and device is not False:
+        import jax
+
+        if device or jax.default_backend() == "tpu":
+            from .device_build import build_index_device
+
+            got = build_index_device(contigs, p, batch_windows, verbose)
+            if got is not None:
+                return got
+            if verbose:
+                verbose("device build declined; using host build path")
 
     names: List[str] = []
     lengths: List[int] = []

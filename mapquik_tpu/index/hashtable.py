@@ -42,9 +42,13 @@ class HashIndex(NamedTuple):
 
     @property
     def n(self) -> int:
-        """Stored key count (host-side count of non-sentinel slots)."""
-        k = np.asarray(self.keys).reshape(-1, 2)
-        return int((~((k[:, 0] == _EMPTY) & (k[:, 1] == _EMPTY))).sum())
+        """Stored key count: non-sentinel slots, counted ON DEVICE (pulling
+        the full key array costs seconds through this environment's ~25 MB/s
+        d2h tunnel; the scalar pull is ~0.1 s)."""
+        import jax.numpy as jnp
+
+        k = self.keys.reshape(-1, 2)
+        return int(jnp.sum(~((k[:, 0] == _EMPTY) & (k[:, 1] == _EMPTY))))
 
 
 def _buckets(h1: np.ndarray, h2: np.ndarray, mask: int):

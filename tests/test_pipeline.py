@@ -59,6 +59,61 @@ class TestIndexBuild:
         assert (np.diff(keys.astype(np.int64)) > 0).all() or keys.shape[0] < 2
 
 
+class TestDeviceBuild:
+    def test_device_build_equals_host_build(self, genome):
+        """The zero-pull device-resident builder must store exactly the host
+        builder's key set and return identical probe results (slot order may
+        differ; probes are order-blind)."""
+        import jax.numpy as jnp
+
+        from mapquik_tpu.index.device_build import build_index_device
+        from mapquik_tpu.index.hashtable import probe_hash
+
+        host_idx, host_meta = build_index(genome, P, backend="hash", device=False)
+        got = build_index_device(genome, P)
+        assert got is not None
+        dev_idx, dev_meta = got
+        assert dev_meta.names == host_meta.names
+        np.testing.assert_array_equal(dev_meta.lengths, host_meta.lengths)
+        assert dev_idx.n == host_idx.n > 0
+        rng = np.random.default_rng(1)
+        hk = np.asarray(host_idx.keys).reshape(-1, 2)
+        real = hk[(hk[:, 0] != 0xFFFFFFFF) | (hk[:, 1] != 0xFFFFFFFF)]
+        nq = 512
+        take = rng.integers(0, real.shape[0], nq // 2)
+        qh1 = np.concatenate([
+            real[take, 0], rng.integers(0, 2**32, nq // 2, dtype=np.uint32)
+        ]).reshape(2, -1)
+        qh2 = np.concatenate([
+            real[take, 1], rng.integers(0, 2**32, nq // 2, dtype=np.uint32)
+        ]).reshape(2, -1)
+        ph = probe_hash(host_idx, jnp.asarray(qh1), jnp.asarray(qh2))
+        pd = probe_hash(dev_idx, jnp.asarray(qh1), jnp.asarray(qh2))
+        np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(pd.hit))
+        assert np.asarray(ph.hit)[0].all()
+        hit = np.asarray(ph.hit)
+        for name in ("rid", "start", "end", "offset", "rc"):
+            a, b = getattr(ph, name), getattr(pd, name)
+            np.testing.assert_array_equal(
+                np.asarray(a)[hit], np.asarray(b)[hit], err_msg=name
+            )
+
+    def test_device_build_pipeline_paf_identical(self, genome, reads):
+        """Full pipeline over a device-built index == oracle PAF."""
+        from mapquik_tpu.index.build import build_index as bi
+        from mapquik_tpu.index.device_build import build_index_device
+        from mapquik_tpu.ops.pipeline import Mapper
+
+        got = build_index_device(genome, P)
+        assert got is not None
+        idx, meta = got
+        mapper = Mapper.from_index(idx, meta, P)
+        device_lines = sorted(mapper.map_reads(reads))
+        ref_mapper = Mapper(genome, P)
+        assert sorted(ref_mapper.map_reads(reads)) == device_lines
+        assert len(device_lines) > 30
+
+
 class TestHashIndex:
     def test_probe_equals_sorted_backend(self, genome):
         """Two-choice hash table returns identical probe results to binary search."""
