@@ -54,8 +54,8 @@ def _make_batch_extract(p: Params, cap: int, L: int):
     from ..ops import seeding
 
     @jax.jit
-    def run(packed, lens, cs, ce, se, n_contig, base, rid):
-        sb = seeding.seed_batch(seeding.unpack4(packed, L), lens, p, cap)
+    def run(p2, mask, lens, cs, ce, se, n_contig, base, rid):
+        sb = seeding.seed_batch(seeding.unpack2(p2, mask, L), lens, p, cap)
         slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
         st_abs = sb.start + cs[:, None]
         owned = (slot < sb.n[:, None]) & (st_abs < ce[:, None])
@@ -263,8 +263,9 @@ def build_index_device(
                 arr[bi, : se - cs] = codes[cs:se]
                 lens[bi] = se - cs
                 csa[bi], cea[bi], sea[bi] = cs, ce, se
+            p2, mask = seeding.pack2_host(arr)
             out = run(
-                jnp.asarray(seeding.pack4_host(arr)), jnp.asarray(lens),
+                jnp.asarray(p2), jnp.asarray(mask), jnp.asarray(lens),
                 jnp.asarray(csa), jnp.asarray(cea), jnp.asarray(sea),
                 n_contig, base, np.int32(rid),
             )

@@ -18,8 +18,21 @@ import numpy as np
 from ..index.build import RefMeta, build_index
 from ..index.hashtable import HashIndex, probe_hash
 from ..index.lookup import RefIndex, probe
-from ..oracle.pyref import encode
+from ..oracle.pyref import _ENCODE_LUT, encode
 from ..params import Params
+
+_TRANS = bytes(_ENCODE_LUT)
+
+
+def encode_fast(seq) -> np.ndarray:
+    """encode() via bytes.translate (C speed): the numpy-LUT oracle encode
+    costs ~0.16 ms per 24 kb read on this single-core host — a measurable
+    fraction of end-to-end throughput. Bit-identical to oracle encode."""
+    if isinstance(seq, np.ndarray):
+        return seq
+    if isinstance(seq, str):
+        seq = seq.encode()
+    return np.frombuffer(bytes(seq).translate(_TRANS), dtype=np.uint8)
 from .chaining import MapResult, chain_and_select, project_coords
 from .matching import find_matches
 from .seeding import seed_batch
@@ -45,6 +58,19 @@ def map_batch(
     return project_coords(sel, lengths, ref_lens)._replace(overflow=sb.overflow)
 
 
+def _flatten_map_result(res: MapResult) -> jax.Array:
+    """ONE flat int32 [B, 10] result (single d2h pull). Columns: mapped, rc,
+    q_start, q_end, rid, r_start, r_end, score, mapq, overflow."""
+    return jnp.stack(
+        [
+            res.mapped.astype(jnp.int32), res.rc.astype(jnp.int32),
+            res.q_start, res.q_end, res.rid, res.r_start, res.r_end,
+            res.score, res.mapq, res.overflow.astype(jnp.int32),
+        ],
+        axis=1,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("p", "cap", "L", "use_pallas"))
 def map_batch_packed(
     packed: jax.Array,    # uint8 [B, L//2] (4-bit packed codes, pack4_host)
@@ -56,22 +82,49 @@ def map_batch_packed(
     L: int,
     use_pallas: bool = True,
 ) -> jax.Array:
-    """Transfer-optimized map_batch for the streaming driver: 4-bit-packed codes in
-    (halves the upload), ONE flat int32 [B, 10] result out (each device->host pull
-    costs ~0.1-0.4 s latency through this environment's tunnel, so the driver pulls
-    exactly one array per batch). Columns: mapped, rc, q_start, q_end, rid,
-    r_start, r_end, score, mapq, overflow."""
+    """map_batch over 4-bit-packed codes with a flat [B, 10] result."""
     from .seeding import unpack4
 
     res = map_batch(unpack4(packed, L), lengths, index, ref_lens, p, cap, use_pallas)
-    return jnp.stack(
-        [
-            res.mapped.astype(jnp.int32), res.rc.astype(jnp.int32),
-            res.q_start, res.q_end, res.rid, res.r_start, res.r_end,
-            res.score, res.mapq, res.overflow.astype(jnp.int32),
-        ],
-        axis=1,
+    return _flatten_map_result(res)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "cap", "use_pallas"))
+def map_batch_flat(
+    codes: jax.Array,     # uint8 [B, L]
+    lengths: jax.Array,
+    index,
+    ref_lens: jax.Array,
+    p: Params,
+    cap: int,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """map_batch over raw codes with a flat [B, 10] result."""
+    res = map_batch(codes, lengths, index, ref_lens, p, cap, use_pallas)
+    return _flatten_map_result(res)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "cap", "L", "use_pallas"))
+def map_batch_packed2(
+    p2: jax.Array,        # uint8 [B, L//4] 2-bit packed codes
+    mask: jax.Array,      # uint8 [B, L//8] non-ACGT bitmask
+    lengths: jax.Array,
+    index,
+    ref_lens: jax.Array,
+    p: Params,
+    cap: int,
+    L: int,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """The streaming driver's entry: 2-bit + bitmask upload (2.25 bits/base —
+    the h2d tunnel moves fresh buffers at ~53 MB/s, so upload bytes bound
+    streamed throughput) with a flat [B, 10] result."""
+    from .seeding import unpack2
+
+    res = map_batch(
+        unpack2(p2, mask, L), lengths, index, ref_lens, p, cap, use_pallas
     )
+    return _flatten_map_result(res)
 
 
 def unflatten_map_result(flat: np.ndarray) -> MapResult:
@@ -150,10 +203,11 @@ class Mapper:
     ) -> Iterator[str]:
         """Yield PAF lines for mapped reads (unmapped reads are skipped).
 
-        Double-buffered: each batch is dispatched asynchronously and finalized only
-        after the NEXT batch is enqueued, so host packing/PAF formatting overlaps
-        device compute (the reference overlaps via worker threads,
-        src/closures.rs:183-205; here JAX's async dispatch provides the pipeline).
+        Deep-pipelined: batches are dispatched asynchronously and finalized in
+        GROUPS of DEPTH with one concatenated device->host pull, so host
+        packing/PAF formatting overlaps device compute and the per-pull ~0.13s
+        tunnel latency amortizes over DEPTH batches (the reference overlaps via
+        worker threads, src/closures.rs:183-205).
 
         Length bins (Params.length_bins): reads are routed to the smallest padded
         length bin that fits them, so short reads in mixed-length inputs cost
@@ -164,7 +218,6 @@ class Mapper:
         A read's sequence may be bytes/str (encoded here) or a pre-encoded uint8
         codes array (e.g. from the native parser, io/native.py)."""
         from ..params import _seed_cap
-        from .seeding import pack4_host, unpack4
 
         p = self.p
         B = batch_size or p.batch_size
@@ -172,41 +225,81 @@ class Mapper:
         bins.append(p.max_read_len)
         caps = [min(p.max_minimizers, _seed_cap(Lb, p.density, p.k)) for Lb in bins]
 
+        if not hasattr(self, "_buf_rings"):
+            self._buf_rings = {}
+        rings = self._buf_rings
+
         class _Bin:
+            """Ring of reused batch buffers: a fresh np.full(8 MB) costs ~140 ms
+            on this single-core host (page faults dominated e2e throughput);
+            reused warm buffers with per-row tail resets are ~free. DEPTH+2
+            buffers guarantee no in-flight buffer is overwritten (retry needs
+            the host copy until its group finalizes). Rings persist on the
+            Mapper instance across map_reads calls."""
+
             def __init__(self, Lb, cap):
                 self.L = Lb
                 self.cap = cap
                 self.names: List[str] = []
                 self.lens: List[int] = []
-                self.buf = np.full((B, Lb), 4, dtype=np.uint8)
+                self._ring = rings.setdefault(
+                    (B, Lb), [np.full((B, Lb), 4, dtype=np.uint8)]
+                )
+                self._ri = 0
+                self.buf = self._ring[0]
+
+            def next_buf(self):
+                self._ri += 1
+                if len(self._ring) < DEPTH + 2:
+                    self._ring.append(np.full((B, self.L), 4, dtype=np.uint8))
+                self.buf = self._ring[self._ri % len(self._ring)]
 
         state = [_Bin(Lb, cap) for Lb, cap in zip(bins, caps)]
-        pending = None  # (names, lens, flat result, loci or None)
+        # Grouped finalization: each d2h pull costs ~0.13 s LATENCY on this
+        # environment regardless of size, so pulling per batch caps e2e at
+        # ~750 reads/s while the device maps ~16k/s. Keep DEPTH batches in
+        # flight and pull their [B, 10] results as ONE concatenated array.
+        DEPTH = 8
+        pending: List[tuple] = []
 
         def dispatch(bn: "_Bin"):
-            packed_host = pack4_host(bn.buf)
-            packed_d = jnp.asarray(packed_host)
+            from .seeding import pack2_host, unpack2
+
+            codes_host = bn.buf
+            p2, mask = pack2_host(codes_host)
+            p2_d, mask_d = jnp.asarray(p2), jnp.asarray(mask)
             lens_host = np.asarray(bn.lens + [0] * (B - len(bn.lens)), dtype=np.int32)
             lens_d = jnp.asarray(lens_host)
-            flat = map_batch_packed(
-                packed_d, lens_d, self.index, self.ref_lens, p, bn.cap, bn.L
+            flat = map_batch_packed2(
+                p2_d, mask_d, lens_d, self.index, self.ref_lens, p, bn.cap, bn.L
             )
             loci = None
             if stats is not None:
                 from .stats import read_stats_batch
 
                 loci = read_stats_batch(
-                    unpack4(packed_d, bn.L), lens_d, self.index, p, bn.cap
+                    unpack2(p2_d, mask_d, bn.L), lens_d, self.index, p, bn.cap
                 )
-            out = (bn.names, bn.lens, flat, loci, packed_host, lens_host, bn.cap, bn.L)
+            out = (bn.names, bn.lens, flat, loci, codes_host, lens_host, bn.cap, bn.L)
             bn.names, bn.lens = [], []
-            bn.buf = np.full((B, bn.L), 4, dtype=np.uint8)
+            bn.next_buf()
             return out
 
-        def finalize(item):
-            f_names, f_lens, flat, loci, packed_host, lens_host, cap0, Lb = item
-            flat_h = np.array(flat)  # the ONE d2h pull (writable copy: overflow
-                                     # retry patches rows in place)
+        def finalize_group(items):
+            if not items:
+                return
+            if len(items) == 1:
+                pulled = [np.array(items[0][2])]
+            else:
+                cat = np.asarray(jnp.concatenate([it[2] for it in items]))
+                pulled = [
+                    np.array(cat[i * B : (i + 1) * B]) for i in range(len(items))
+                ]
+            for item, flat_h in zip(items, pulled):
+                yield from finalize(item, flat_h)
+
+        def finalize(item, flat_h):
+            f_names, f_lens, flat, loci, codes_host, lens_host, cap0, Lb = item
             # overflow retry (mirrors the index builder's doubled-cap retry,
             # index/build.py): a clipped read's PAF line may be wrong, so clipped
             # reads are re-dispatched at doubled caps until none overflow — never
@@ -224,17 +317,17 @@ class Mapper:
                     f"them at cap {cap}",
                     file=sys.stderr,
                 )
-                rbuf = np.zeros_like(packed_host)
-                rbuf[: rows.size] = packed_host[rows]
+                rbuf = np.full_like(codes_host, 4)
+                rbuf[: rows.size] = codes_host[rows]
                 rlens = np.zeros_like(lens_host)
                 rlens[: rows.size] = lens_host[rows]
                 # attempt >= 2: the overflow may be the Pallas per-block
                 # compaction cap (satellite repeats), which a bigger seed cap
                 # cannot fix — force the uncompacted path
                 rflat = np.asarray(
-                    map_batch_packed(
+                    map_batch_flat(
                         jnp.asarray(rbuf), jnp.asarray(rlens), self.index,
-                        self.ref_lens, p, cap, Lb, attempt < 2,
+                        self.ref_lens, p, cap, attempt < 2,
                     )
                 )
                 flat_h[rows] = rflat[: rows.size]
@@ -245,7 +338,7 @@ class Mapper:
 
         n_truncated = 0
         for name, seq in reads:
-            codes = seq if isinstance(seq, np.ndarray) else encode(seq)
+            codes = seq if isinstance(seq, np.ndarray) else encode_fast(seq)
             Lr = codes.shape[0]
             if Lr > p.max_read_len:
                 if n_truncated == 0:
@@ -261,19 +354,17 @@ class Mapper:
                 codes = codes[: p.max_read_len]
                 Lr = p.max_read_len
             bn = next(b for b in state if Lr <= b.L)
-            bn.buf[len(bn.names), :Lr] = codes
+            row = bn.buf[len(bn.names)]
+            row[:Lr] = codes
+            row[Lr:] = 4  # reset the reused buffer's tail (stale prior batch)
             bn.names.append(name)
             bn.lens.append(Lr)
             if len(bn.names) == B:
-                nxt = dispatch(bn)
-                if pending is not None:
-                    yield from finalize(pending)
-                pending = nxt
+                pending.append(dispatch(bn))
+                if len(pending) >= DEPTH:
+                    yield from finalize_group(pending)
+                    pending = []
         for bn in state:
             if bn.names:
-                nxt = dispatch(bn)
-                if pending is not None:
-                    yield from finalize(pending)
-                pending = nxt
-        if pending is not None:
-            yield from finalize(pending)
+                pending.append(dispatch(bn))
+        yield from finalize_group(pending)

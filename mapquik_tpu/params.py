@@ -59,11 +59,15 @@ class Params:
             raise ValueError("density must be in (0, 1]")
         if self.max_minimizers < self.k:
             raise ValueError("max_minimizers must be >= k")
+        if self.max_read_len % 8:
+            raise ValueError("max_read_len must be a multiple of 8 (2-bit packing)")
         for b in self.length_bins:
             if b >= self.max_read_len:
                 raise ValueError("length_bins must be < max_read_len")
             if b > 512 and b % 512:
                 raise ValueError("length bins must be multiples of 512 (scan blocking)")
+            if b % 8:
+                raise ValueError("length bins must be multiples of 8 (2-bit packing)")
         if self.ref_halo < self.min_ref_halo:
             raise ValueError(
                 f"ref_halo={self.ref_halo} is below the mean k-min-mer span "
