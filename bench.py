@@ -61,7 +61,7 @@ def main():
     log(f"index built: {index.n} k-min-mers in {index_s:.1f}s (cold); rebuilding for steady-state")
     t0 = time.time()
     index2, _ = build_index(genome, p)
-    jax.block_until_ready(index2.keys if hasattr(index2, "keys") else index2.h1)
+    jax.block_until_ready(index2.slots if hasattr(index2, "slots") else index2.h1)
     index_steady_s = time.time() - t0
     del index2
     log(f"steady index rebuild {index_steady_s:.2f}s "

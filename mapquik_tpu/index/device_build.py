@@ -157,20 +157,22 @@ def _placement(S: int, h1, h2, valid):
 
 
 def _materialize(S: int, slot_of, h1, h2, st, en, off, ridrc):
+    import jax
     import jax.numpy as jnp
 
-    # unplaced/invalid rows scatter into a dump row that is sliced off
+    # unplaced/invalid rows scatter into a dump row that is sliced off;
+    # fused [S, BUCKET, 7] slot layout (index/hashtable.py: one-gather probes)
     slot = jnp.where(slot_of >= 0, slot_of, S * BUCKET)
-    keys = jnp.full((S * BUCKET + 1, 2), _EMPTY, jnp.uint32)
-    keys = keys.at[slot, 0].set(h1)
-    keys = keys.at[slot, 1].set(h2)
-    payload = jnp.zeros((S * BUCKET + 1, 5), jnp.int32)
-    payload = payload.at[slot, 0].set(ridrc >> 1)
-    payload = payload.at[slot, 1].set(st)
-    payload = payload.at[slot, 2].set(en)
-    payload = payload.at[slot, 3].set(off)
-    payload = payload.at[slot, 4].set(ridrc & 1)
-    return keys[:-1].reshape(S, BUCKET, 2), payload[:-1]
+    slots = jnp.zeros((S * BUCKET + 1, 7), jnp.int32)
+    slots = slots.at[:, 0].set(-1).at[:, 1].set(-1)
+    slots = slots.at[slot, 0].set(jax.lax.bitcast_convert_type(h1, jnp.int32))
+    slots = slots.at[slot, 1].set(jax.lax.bitcast_convert_type(h2, jnp.int32))
+    slots = slots.at[slot, 2].set(ridrc >> 1)
+    slots = slots.at[slot, 3].set(st)
+    slots = slots.at[slot, 4].set(en)
+    slots = slots.at[slot, 5].set(off)
+    slots = slots.at[slot, 6].set(ridrc & 1)
+    return slots[:-1].reshape(S, BUCKET, 7)
 
 
 @functools.lru_cache(maxsize=8)
@@ -193,14 +195,14 @@ def _make_finalize(S: int):
 
     @jax.jit
     def mat(slot_of, h1, h2, st, en, off, ridrc, keep):
-        keys, payload = _materialize(S, slot_of, h1, h2, st, en, off, ridrc)
-        return keys, payload, jnp.sum(keep.astype(jnp.int32))
+        slots = _materialize(S, slot_of, h1, h2, st, en, off, ridrc)
+        return slots, jnp.sum(keep.astype(jnp.int32))
 
     def run(batch_cols):
         cols, keep = dedup(batch_cols)
         slot_of, fail = place(cols[0], cols[1], keep)
-        keys, payload, n_unique = mat(slot_of, *cols, keep)
-        return keys, payload, n_unique, fail
+        slots, n_unique = mat(slot_of, *cols, keep)
+        return slots, n_unique, fail
 
     return run
 
@@ -302,7 +304,7 @@ def build_index_device(
     while True:
         if verbose:
             verbose(f"dispatched {len(batches)} batches; finalizing (S={S})")
-        keys, payload, n_unique_d, fail_d = _make_finalize(S)(batches)
+        slots, n_unique_d, fail_d = _make_finalize(S)(batches)
         n_unique, fail = int(n_unique_d), int(fail_d)
         if fail == 0:
             break
@@ -317,6 +319,6 @@ def build_index_device(
         if verbose:
             verbose("overflow/halo flag on device path; falling back to host build")
         return None
-    idx = HashIndex(keys=keys, payload=payload)
-    jax.block_until_ready(idx.keys)
+    idx = HashIndex(slots=slots)
+    jax.block_until_ready(idx.slots)
     return idx, meta

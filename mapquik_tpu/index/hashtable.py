@@ -1,11 +1,15 @@
 """Bucketed two-choice hash table: the fast device index backend.
 
 Replaces the sorted-array binary search (26 *dependent* gathers per probe) with a
-constant-depth probe: each key lives in one of two 8-slot buckets derived from its
-(h1, h2) pair, so a lookup is two contiguous 8-slot row gathers + compare + one
-payload gather. This is the TPU-native analog of the reference's DashMap keyed by the
-k-min-mer hash itself (identity hasher, src/index.rs:12-39,73-76): our keys are already
-avalanche-mixed, so bucket indices are just masked key bits.
+constant-depth probe. This is the TPU-native analog of the reference's DashMap
+keyed by the k-min-mer hash itself (identity hasher, src/index.rs:12-39,73-76):
+our keys are already avalanche-mixed, so bucket indices are just masked key bits.
+
+Layout: keys AND payload fused in ONE [S, BUCKET, 7] int32 array (h1, h2, rid,
+start, end, offset, rc per slot). Gathers on this device are latency-bound and
+width-independent (~1.4 ms per [256, 512] gather regardless of row width), so a
+probe is a SINGLE row gather covering both candidate buckets (concat-indexed)
+with the payload riding along — one gather total, vs three in the split layout.
 
 Exactness: a key is found iff present (both candidate buckets are always checked);
 build fails over to a larger table until every key fits, so no seed is ever silently
@@ -26,29 +30,26 @@ from .lookup import ProbeResult
 
 BUCKET = 8
 _EMPTY = np.uint32(0xFFFFFFFF)
+_EMPTY_I = np.int32(-1)  # 0xFFFFFFFF as int32
 
 
 class HashIndex(NamedTuple):
-    """Stacked storage layout: separate gathers cost ~1.4ms each on v5e regardless
-    of width, so a probe reads keys as one [8, 2] row per choice and the payload as
-    one 5-int row — 3 gathers total."""
+    """slots[s, b] = (h1, h2, rid, start, end, offset, rc) as int32 (h1/h2
+    bit-cast; empty slots carry h1 == h2 == -1)."""
 
-    keys: jax.Array     # uint32 [S, 8, 2] slot keys (h1, h2)
-    payload: jax.Array  # int32  [S*8, 5]  (rid, start, end, offset, rc)
+    slots: jax.Array  # int32 [S, BUCKET, 7]
 
     @property
     def n_buckets(self) -> int:
-        return self.keys.shape[0]
+        return self.slots.shape[0]
 
     @property
     def n(self) -> int:
         """Stored key count: non-sentinel slots, counted ON DEVICE (pulling
-        the full key array costs seconds through this environment's ~25 MB/s
-        d2h tunnel; the scalar pull is ~0.1 s)."""
-        import jax.numpy as jnp
-
-        k = self.keys.reshape(-1, 2)
-        return int(jnp.sum(~((k[:, 0] == _EMPTY) & (k[:, 1] == _EMPTY))))
+        the full table costs seconds through this environment's ~25 MB/s d2h
+        tunnel; the scalar pull is ~0.1 s)."""
+        k = self.slots.reshape(-1, 7)
+        return int(jnp.sum(~((k[:, 0] == _EMPTY_I) & (k[:, 1] == _EMPTY_I))))
 
 
 def _buckets(h1: np.ndarray, h2: np.ndarray, mask: int):
@@ -56,6 +57,21 @@ def _buckets(h1: np.ndarray, h2: np.ndarray, mask: int):
     # independent second choice from the other key word (keys are pre-avalanched)
     b2 = (h2 ^ (h1 >> 16)) & mask
     return b1.astype(np.int64), b2.astype(np.int64)
+
+
+def pack_slots(S: int, slot_of, h1, h2, rid, start, end, offset, rc) -> np.ndarray:
+    """Host-side slot-array assembly from flat placements (slot_of int64 [n])."""
+    slots = np.zeros((S * BUCKET, 7), dtype=np.int32)
+    slots[:, 0] = _EMPTY_I
+    slots[:, 1] = _EMPTY_I
+    slots[slot_of, 0] = h1.astype(np.int64).astype(np.int32)
+    slots[slot_of, 1] = h2.astype(np.int64).astype(np.int32)
+    slots[slot_of, 2] = rid
+    slots[slot_of, 3] = start
+    slots[slot_of, 4] = end
+    slots[slot_of, 5] = offset
+    slots[slot_of, 6] = rc
+    return slots.reshape(S, BUCKET, 7)
 
 
 def build_hash_index(
@@ -76,19 +92,13 @@ def build_hash_index(
         if placed_slot is not None:
             break
         S *= 2
-    keys = np.full((S * BUCKET, 2), _EMPTY, dtype=np.uint32)
-    payload = np.zeros((S * BUCKET, 5), dtype=np.int32)
-    keys[placed_slot, 0] = h1
-    keys[placed_slot, 1] = h2
-    payload[placed_slot, 0] = rid
-    payload[placed_slot, 1] = start
-    payload[placed_slot, 2] = end
-    payload[placed_slot, 3] = offset
-    payload[placed_slot, 4] = rc
-    return HashIndex(
-        keys=jnp.asarray(keys.reshape(S, BUCKET, 2)),
-        payload=jnp.asarray(payload),
+    slots = pack_slots(
+        S, placed_slot, h1, h2,
+        np.asarray(rid, dtype=np.int32), np.asarray(start, dtype=np.int32),
+        np.asarray(end, dtype=np.int32), np.asarray(offset, dtype=np.int32),
+        np.asarray(rc, dtype=np.int32),
     )
+    return HashIndex(slots=jnp.asarray(slots))
 
 
 def _try_place(h1: np.ndarray, h2: np.ndarray, S: int):
@@ -120,17 +130,21 @@ def _try_place(h1: np.ndarray, h2: np.ndarray, S: int):
 
 
 def probe_hash(index: HashIndex, qh1: jax.Array, qh2: jax.Array) -> ProbeResult:
-    """Constant-depth lookup: 2 stacked bucket row-gathers + 1 stacked payload gather."""
-    keys, payload = index.keys, index.payload
-    mask = np.uint32(index.n_buckets - 1)
+    """Constant-depth lookup: one concat-indexed KEY row gather (both candidate
+    buckets; XLA fuses the [:, :, :2] view into the gather's slice sizes) plus
+    one payload gather at the matching slot. Gathers here are latency-bound
+    but not fully width-independent: fetching the full 8x7 rows for both
+    buckets measured ~1.8 ms/batch slower than this split."""
+    slots = index.slots
+    S = index.n_buckets
+    mask = np.uint32(S - 1)
     b1 = (qh1 & mask).astype(jnp.int32)
     b2 = ((qh2 ^ (qh1 >> 16)) & mask).astype(jnp.int32)
-    # both choices in ONE row gather (concat the index vectors): per-gather cost is
-    # latency-dominated on v5e, so one 2x-wide gather beats two
-    r12 = keys[jnp.concatenate([b1, b2], axis=-1)]  # [..., 2M, 8, 2]
+    keys_v = slots[:, :, :2]
+    r12 = keys_v[jnp.concatenate([b1, b2], axis=-1)]  # [..., 2M, 8, 2]
     r1, r2 = jnp.split(r12, 2, axis=-3)
-    q1 = qh1[..., None]
-    q2 = qh2[..., None]
+    q1 = jax.lax.bitcast_convert_type(qh1, jnp.int32)[..., None]
+    q2 = jax.lax.bitcast_convert_type(qh2, jnp.int32)[..., None]
     m1 = (r1[..., 0] == q1) & (r1[..., 1] == q2)
     m2 = (r2[..., 0] == q1) & (r2[..., 1] == q2)
     hit = jnp.any(m1, axis=-1) | jnp.any(m2, axis=-1)
@@ -143,12 +157,12 @@ def probe_hash(index: HashIndex, qh1: jax.Array, qh2: jax.Array) -> ProbeResult:
         ),
         axis=-1,
     )
-    pay = payload[jnp.maximum(slot, 0)]  # [..., 5]
+    pay = slots.reshape(S * BUCKET, 7)[jnp.maximum(slot, 0)]  # [..., 7]
     return ProbeResult(
         hit=hit,
-        rid=pay[..., 0],
-        start=pay[..., 1],
-        end=pay[..., 2],
-        offset=pay[..., 3],
-        rc=pay[..., 4].astype(bool),
+        rid=pay[..., 2],
+        start=pay[..., 3],
+        end=pay[..., 4],
+        offset=pay[..., 5],
+        rc=pay[..., 6].astype(bool),
     )

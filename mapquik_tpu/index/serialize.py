@@ -17,7 +17,7 @@ from .build import RefMeta
 from .hashtable import HashIndex
 from .lookup import RefIndex
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: fused [S,8,7] hash slot layout
 
 
 def save_index(path: str, index, meta: RefMeta, params_key: str = "") -> None:

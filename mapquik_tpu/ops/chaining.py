@@ -95,10 +95,13 @@ def chain_and_select(mb: MatchBatch, p: Params) -> tuple:
     idx = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
     valid_in = idx < mb.n[:, None]
 
-    # --- 1. bucket grouping: stable sort by (bucket, query order) ---
+    # --- 1. bucket grouping: sort by (bucket, query order) --- the query-order
+    # tiebreak comes free from ONE stable single-key pass (inputs are already
+    # in query order); a num_keys=2 variadic sort leaves XLA's fast sort path
+    # for a comparator network (measured on the 1D dedup sorts)
     ops = [mb.bucket, idx, mb.count, mb.q_start, mb.q_end, mb.r_start, mb.r_end,
            mb.rc.astype(jnp.int32)]
-    s = jax.lax.sort(ops, num_keys=2, dimension=1)
+    s = jax.lax.sort(ops, num_keys=1, dimension=1, is_stable=True)
     bucket, _, count, q_s, q_e, r_s, r_e, rc_i = s
     rc = rc_i.astype(bool)
     valid = bucket != _BIG_I32

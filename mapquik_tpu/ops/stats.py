@@ -35,7 +35,10 @@ def count_loci(hit: jax.Array, rid: jax.Array, start: jax.Array, valid: jax.Arra
     B = hit.shape[0]
     rkey = jnp.where(use, rid.astype(jnp.int32), _BIG_I32)
     skey = jnp.where(use, start.astype(jnp.int32), _BIG_I32)
-    s_rid, s_start = jax.lax.sort([rkey, skey], num_keys=2, dimension=1)
+    # (rid, start) lexicographic via two stable single-key radix passes
+    # (num_keys=2 leaves XLA's fast sort path)
+    skey, rkey = jax.lax.sort([skey, rkey], num_keys=1, dimension=1, is_stable=True)
+    s_rid, s_start = jax.lax.sort([rkey, skey], num_keys=1, dimension=1, is_stable=True)
     p_rid = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), s_rid[:, :-1]], axis=1)
     p_start = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), s_start[:, :-1]], axis=1)
     is_hit = s_rid != _BIG_I32

@@ -38,9 +38,8 @@ from ..params import Params
 class ShardedHashIndex:
     """Host-side container: per-shard tables stacked with a leading shard axis."""
 
-    def __init__(self, keys: jax.Array, payload: jax.Array, n_shards: int, n: int):
-        self.keys = keys        # uint32 [D, S, 8, 2]
-        self.payload = payload  # int32  [D, S*8, 5]
+    def __init__(self, slots: jax.Array, n_shards: int, n: int):
+        self.slots = slots      # int32 [D, S, 8, 7] (fused keys+payload)
         self.n_shards = n_shards
         self.n = n              # total stored keys
 
@@ -58,63 +57,61 @@ def build_sharded_index(
             build_hash_index(h1[m], h2[m], rid[m], start[m], end[m], offset[m], rc[m])
         )
     S = max(t.n_buckets for t in tables)
-    keys = np.full((n_shards, S, BUCKET, 2), 0xFFFFFFFF, dtype=np.uint32)
-    payload = np.zeros((n_shards, S * BUCKET, 5), dtype=np.int32)
+    slots = np.zeros((n_shards, S, BUCKET, 7), dtype=np.int32)
+    slots[..., 0] = -1
+    slots[..., 1] = -1
     for s, t in enumerate(tables):
         tS = t.n_buckets
         # replicate the table so (key & (S-1)) probing still lands on the key's
         # bucket: bucket index b in the small table maps to b + j*tS copies
         reps = S // tS
-        tk = np.asarray(t.keys)
-        tp = np.asarray(t.payload).reshape(tS, BUCKET, 5)
+        tk = np.asarray(t.slots)
         for j in range(reps):
-            keys[s, j * tS : (j + 1) * tS] = tk
-            payload[s, (j * tS * BUCKET) : ((j + 1) * tS * BUCKET)] = tp.reshape(-1, 5)
+            slots[s, j * tS : (j + 1) * tS] = tk
     n = int(sum(t.n for t in tables))
-    return ShardedHashIndex(jnp.asarray(keys), jnp.asarray(payload), n_shards, n)
+    return ShardedHashIndex(jnp.asarray(slots), n_shards, n)
 
 
-def _probe_shard(keys, payload, qh1, qh2, shard_id, n_shards):
-    """Probe one shard's table for all queries; miss for keys it doesn't own."""
-    S = keys.shape[0]
+def _probe_shard(slots, qh1, qh2, shard_id, n_shards):
+    """Probe one shard's table for all queries; miss for keys it doesn't own.
+    One fused row gather (keys+payload), matching index/hashtable.probe_hash."""
+    S = slots.shape[0]
     mask = np.uint32(S - 1)
     b1 = (qh1 & mask).astype(jnp.int32)
     b2 = ((qh2 ^ (qh1 >> 16)) & mask).astype(jnp.int32)
-    r12 = keys[jnp.concatenate([b1, b2], axis=-1)]
+    r12 = slots[jnp.concatenate([b1, b2], axis=-1)]  # [..., 2M, 8, 7]
     r1, r2 = jnp.split(r12, 2, axis=-3)
-    q1 = qh1[..., None]
-    q2 = qh2[..., None]
+    q1 = jax.lax.bitcast_convert_type(qh1, jnp.int32)[..., None]
+    q2 = jax.lax.bitcast_convert_type(qh2, jnp.int32)[..., None]
     m1 = (r1[..., 0] == q1) & (r1[..., 1] == q2)
     m2 = (r2[..., 0] == q1) & (r2[..., 1] == q2)
     owned = (qh1 % np.uint32(n_shards)) == shard_id.astype(jnp.uint32)
     hit = (jnp.any(m1, axis=-1) | jnp.any(m2, axis=-1)) & owned
-    lane = jnp.arange(BUCKET, dtype=jnp.int32)
-    flat1 = b1[..., None] * BUCKET + lane
-    flat2 = b2[..., None] * BUCKET + lane
-    slot = jnp.max(
-        jnp.concatenate([jnp.where(m1, flat1, -1), jnp.where(m2, flat2, -1)], axis=-1),
-        axis=-1,
-    )
-    pay = payload[jnp.maximum(slot, 0)]  # [..., 5]
+
+    def pick(field):
+        a = jnp.max(jnp.where(m1, r1[..., field], np.int32(-1)), axis=-1)
+        b = jnp.max(jnp.where(m2, r2[..., field], np.int32(-1)), axis=-1)
+        return jnp.maximum(jnp.maximum(a, b), 0)
+
+    pay = jnp.stack([pick(2), pick(3), pick(4), pick(5), pick(6)], axis=-1)
     pay = jnp.where(hit[..., None], pay, 0)
     return hit, pay
 
 
 @functools.partial(jax.jit, static_argnames=("p", "cap", "mesh"))
-def _map_batch_hash_sharded(codes, lengths, keys, payload, ref_lens, p: Params,
+def _map_batch_hash_sharded(codes, lengths, slots, ref_lens, p: Params,
                             cap: int, mesh: Mesh):
     D = mesh.devices.size
 
-    def per_device(codes_s, lengths_s, keys_s, payload_s, ref_lens_r):
-        keys_s = keys_s[0]        # [S, 8, 2] local shard
-        payload_s = payload_s[0]  # [S*8, 5]
+    def per_device(codes_s, lengths_s, slots_s, ref_lens_r):
+        slots_s = slots_s[0]      # [S, 8, 7] local shard
         shard_id = jax.lax.axis_index("dp")
         sb = seed_batch(codes_s, lengths_s, p, cap)
         # all-to-all hit exchange: gather every device's queries, probe the local
         # shard, then reduce the (disjoint) hits back to the owning slice
         gh1 = jax.lax.all_gather(sb.h1, "dp", tiled=True)  # [B, M]
         gh2 = jax.lax.all_gather(sb.h2, "dp", tiled=True)
-        hit, pay = _probe_shard(keys_s, payload_s, gh1, gh2, shard_id, D)
+        hit, pay = _probe_shard(slots_s, gh1, gh2, shard_id, D)
         combined = jnp.concatenate(
             [hit[..., None].astype(jnp.int32), pay], axis=-1
         )  # [B, M, 6]
@@ -131,10 +128,10 @@ def _map_batch_hash_sharded(codes, lengths, keys, payload, ref_lens, p: Params,
     return jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P("dp", None), P("dp"), P("dp"), P("dp"), P()),
+        in_specs=(P("dp", None), P("dp"), P("dp"), P()),
         out_specs=P("dp"),
         check_vma=False,
-    )(codes, lengths, keys, payload, ref_lens)
+    )(codes, lengths, slots, ref_lens)
 
 
 def map_batch_hash_sharded(
@@ -151,7 +148,6 @@ def map_batch_hash_sharded(
     dp1 = NamedSharding(mesh, P("dp"))
     codes_d = jax.device_put(np.asarray(codes), dp2)
     lens_d = jax.device_put(np.asarray(lengths), dp1)
-    keys_d = jax.device_put(sidx.keys, NamedSharding(mesh, P("dp", None, None, None)))
-    pay_d = jax.device_put(sidx.payload, NamedSharding(mesh, P("dp", None, None)))
+    slots_d = jax.device_put(sidx.slots, NamedSharding(mesh, P("dp", None, None, None)))
     ref_r = jax.device_put(jnp.asarray(ref_lens), NamedSharding(mesh, P()))
-    return _map_batch_hash_sharded(codes_d, lens_d, keys_d, pay_d, ref_r, p, cap, mesh)
+    return _map_batch_hash_sharded(codes_d, lens_d, slots_d, ref_r, p, cap, mesh)

@@ -29,10 +29,18 @@ def run_one(p, genome, reads, B):
     from mapquik_tpu.ops.pipeline import format_paf, map_batch
     from mapquik_tpu.oracle.pyref import encode
 
+    # host build path: the device builder compiles 4+ programs per parameter
+    # value through the slow relay — prohibitive for a 13-value sweep; the
+    # sweep's regression surface is the MAP phase
     t0 = time.time()
-    index, meta = build_index(genome, p)
-    jax.block_until_ready(index.keys if hasattr(index, "keys") else index.h1)
-    index_s = time.time() - t0
+    index, meta = build_index(genome, p, device=False)
+    jax.block_until_ready(index.slots if hasattr(index, "slots") else index.h1)
+    index_cold_s = time.time() - t0
+    t0 = time.time()
+    index2, _ = build_index(genome, p, device=False)
+    jax.block_until_ready(index2.slots if hasattr(index2, "slots") else index2.h1)
+    index_s = time.time() - t0  # steady: compiles cached, the regression metric
+    del index2
     ref_lens = jnp.asarray(meta.lengths.astype(np.int32))
 
     L = p.max_read_len
@@ -51,10 +59,19 @@ def run_one(p, genome, reads, B):
 
     r = map_batch(*batches[0][:2], index, ref_lens, p, p.max_minimizers)
     jax.block_until_ready(r)
-    t0 = time.time()
-    results = [map_batch(c, l, index, ref_lens, p, p.max_minimizers) for c, l, _ in batches]
-    jax.block_until_ready(results)
-    map_s = time.time() - t0
+    # median of 3 steady repeats (compile excluded, inputs vary across batches):
+    # single-shot timings on this backend carry the compile relay's variance
+    # and cannot detect 2x regressions (round-1 verdict weak #5)
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        results = [
+            map_batch(c, l, index, ref_lens, p, p.max_minimizers)
+            for c, l, _ in batches
+        ]
+        jax.block_until_ready(results)
+        reps.append(time.time() - t0)
+    map_s = float(np.median(reps))
 
     paf = []
     for (codes, lens, nm), res in zip(batches, results):
