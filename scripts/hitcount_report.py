@@ -47,11 +47,15 @@ def main():
     t0 = time.time()
     genome, regions = repeat_genome(
         n, seed=args.seed, n_contigs=2,
-        tandem_arrays=max(3, n // 1_000_000), tandem_identity=(0.999, 1.0),
-        segdups=max(2, n // 2_000_000), segdup_identity=(0.98, 1.0),
-        microsats=max(4, n // 1_000_000),
+        tandem_arrays=max(4, n // 500_000), tandem_copies=(40, 200),
+        tandem_identity=(1.0, 1.0),  # perfect copies: multi-locus candidates
+        segdups=max(3, n // 1_000_000), segdup_identity=(0.995, 1.0),
+        segdup_len=12_000, segdup_copies=(2, 5),
+        microsats=max(6, n // 500_000), microsat_span=(1000, 6000),
     )
-    reads = simulate_depth(genome, args.depth, mean_len=12_000, accuracy=0.99,
+    # short reads land INSIDE repeat structures (long reads always reach
+    # unique flanks and trivially resolve)
+    reads = simulate_depth(genome, args.depth, mean_len=6_000, accuracy=0.99,
                            seed=args.seed + 1)
     print(f"[{time.time()-t0:6.1f}s] {len(reads)} reads", file=sys.stderr)
     p = Params.auto(k=7, l=31, density=0.01, max_read_len=1 << 14)
