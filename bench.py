@@ -26,8 +26,52 @@ def log(msg):
 T0 = time.time()
 
 
+def measure_device_build():
+    """Device-resident build steady MB/s, in a time-boxed subprocess run
+    BEFORE this process initializes its own TPU client: the tunnel is
+    effectively single-tenant, so a probe running alongside the parent's
+    live TPU client systematically underreports (round-2: 11 MB/s contended
+    vs 26.6 quiet at 1 GB)."""
+    dev_mb_per_s = None
+    budget = int(os.environ.get("BENCH_DEVICE_BUILD_TIMEOUT", "900"))
+    if budget <= 0:
+        return None
+    import subprocess
+
+    dev_mb = int(os.environ.get("BENCH_DEVBUILD_MB", "64"))
+    log(f"measuring device-build steady MB/s at {dev_mb}MB (subprocess, {budget}s box)")
+    code = (
+        "import sys, time; sys.path.insert(0, '/root/repo')\n"
+        "from mapquik_tpu.params import Params\n"
+        "from mapquik_tpu.eval.simulate import markov_genome\n"
+        "from mapquik_tpu.index.device_build import build_index_device\n"
+        f"g = markov_genome({dev_mb} * 1_000_000, seed=11, n_contigs=2)\n"
+        "p = Params(k=7, l=31, density=0.01, max_read_len=1 << 15,\n"
+        "           max_minimizers=1 << 9)\n"
+        "r = build_index_device(g, p); assert r is not None\n"
+        "best = 0.0\n"
+        "for _ in range(2):\n"
+        "    t0 = time.time(); r = build_index_device(g, p); n = r[0].n\n"
+        f"    best = max(best, {dev_mb} / (time.time() - t0))\n"
+        "print('STEADY', best, n)\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=budget, env=os.environ.copy(),
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("STEADY"):
+                dev_mb_per_s = round(float(line.split()[1]), 1)
+        log(f"device-build steady: {dev_mb_per_s} MB/s at {dev_mb}MB")
+    except Exception as e:
+        log(f"device-build measurement skipped ({type(e).__name__}: slow relay phase)")
+    return dev_mb_per_s
+
+
 def main():
     t_start = time.time()
+    dev_mb_per_s = measure_device_build()
     import jax
     import jax.numpy as jnp
 
@@ -118,38 +162,6 @@ def main():
         n_e2e_lines = sum(1 for _ in mapper.map_reads(reads))
         e2e_s = min(e2e_s, time.time() - t0)
     log(f"e2e: {n_reads / e2e_s:.0f} reads/s ({n_e2e_lines} PAF lines)")
-
-    # device-resident build steady throughput, time-boxed in a subprocess
-    dev_mb_per_s = None
-    budget = int(os.environ.get("BENCH_DEVICE_BUILD_TIMEOUT", "420"))
-    if budget > 0:
-        import subprocess
-
-        dev_mb = int(os.environ.get("BENCH_DEVBUILD_MB", "64"))
-        log(f"measuring device-build steady MB/s at {dev_mb}MB (subprocess, {budget}s box)")
-        code = (
-            "import sys, time; sys.path.insert(0, '/root/repo')\n"
-            "from mapquik_tpu.params import Params\n"
-            "from mapquik_tpu.eval.simulate import markov_genome\n"
-            "from mapquik_tpu.index.device_build import build_index_device\n"
-            f"g = markov_genome({dev_mb} * 1_000_000, seed=11, n_contigs=2)\n"
-            "p = Params(k=7, l=31, density=0.01, max_read_len=1 << 15,\n"
-            "           max_minimizers=1 << 9)\n"
-            "r = build_index_device(g, p); assert r is not None\n"
-            "t0 = time.time(); r = build_index_device(g, p); n = r[0].n\n"
-            f"print('STEADY', {dev_mb} / (time.time() - t0), n)\n"
-        )
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c", code], capture_output=True, text=True,
-                timeout=budget, env=os.environ.copy(),
-            )
-            for line in out.stdout.splitlines():
-                if line.startswith("STEADY"):
-                    dev_mb_per_s = round(float(line.split()[1]), 1)
-            log(f"device-build steady: {dev_mb_per_s} MB/s at {dev_mb}MB")
-        except Exception as e:
-            log(f"device-build measurement skipped ({type(e).__name__}: slow relay phase)")
 
     print(
         json.dumps(

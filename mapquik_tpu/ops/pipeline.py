@@ -225,9 +225,20 @@ class Mapper:
         bins.append(p.max_read_len)
         caps = [min(p.max_minimizers, _seed_cap(Lb, p.density, p.k)) for Lb in bins]
 
+        # Rings are cached on the Mapper ONLY for the single active iterator:
+        # two interleaved map_reads generators sharing one ring would overwrite
+        # each other's in-flight batches, so a concurrent call gets private
+        # (uncached) buffers instead.
         if not hasattr(self, "_buf_rings"):
             self._buf_rings = {}
-        rings = self._buf_rings
+            self._rings_active = False
+        if self._rings_active:
+            rings = {}
+            release_rings = False
+        else:
+            rings = self._buf_rings
+            self._rings_active = True
+            release_rings = True
 
         class _Bin:
             """Ring of reused batch buffers: a fresh np.full(8 MB) costs ~140 ms
@@ -306,14 +317,19 @@ class Mapper:
             # emit a possibly-clipped mapping
             cap = cap0
             attempt = 0
-            while flat_h[: len(f_names), 9].any() and cap < Lb:
+            last_pallas = True
+            while flat_h[: len(f_names), 9].any():
+                if cap >= Lb and not last_pallas:
+                    # exact path at cap == Lb cannot overflow (true minimizer
+                    # count <= L <= cap): this is unreachable, but never loop
+                    raise AssertionError("overflow persisted on the exact path")
                 cap = min(cap * 2, Lb)
                 attempt += 1
                 import sys
 
                 rows = np.nonzero(flat_h[: len(f_names), 9])[0]
                 print(
-                    f"seed cap {cap // 2} clipped {rows.size} read(s); remapping "
+                    f"seed cap clipped {rows.size} read(s); remapping "
                     f"them at cap {cap}",
                     file=sys.stderr,
                 )
@@ -321,13 +337,14 @@ class Mapper:
                 rbuf[: rows.size] = codes_host[rows]
                 rlens = np.zeros_like(lens_host)
                 rlens[: rows.size] = lens_host[rows]
-                # attempt >= 2: the overflow may be the Pallas per-block
-                # compaction cap (satellite repeats), which a bigger seed cap
-                # cannot fix — force the uncompacted path
+                # attempt >= 2 or cap maxed: the overflow may be the Pallas
+                # per-block compaction cap (satellite repeats), which a bigger
+                # seed cap cannot fix — force the uncompacted path
+                last_pallas = attempt < 2 and cap < Lb
                 rflat = np.asarray(
                     map_batch_flat(
                         jnp.asarray(rbuf), jnp.asarray(rlens), self.index,
-                        self.ref_lens, p, cap, attempt < 2,
+                        self.ref_lens, p, cap, last_pallas,
                     )
                 )
                 flat_h[rows] = rflat[: rows.size]
@@ -336,6 +353,15 @@ class Mapper:
                 stats.write_batch(f_names, np.asarray(loci)[: len(f_names)])
             return format_paf(f_names, f_lens, res, self.meta)
 
+        try:
+            yield from self._map_reads_run(reads, state, pending, dispatch,
+                                           finalize_group, p, B, DEPTH)
+        finally:
+            if release_rings:
+                self._rings_active = False
+
+    def _map_reads_run(self, reads, state, pending, dispatch, finalize_group,
+                       p, B, DEPTH):
         n_truncated = 0
         for name, seq in reads:
             codes = seq if isinstance(seq, np.ndarray) else encode_fast(seq)

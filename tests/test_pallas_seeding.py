@@ -89,8 +89,8 @@ class TestSeedSelectCompact:
         self._compare(p, codes, lens, cap=512)
 
     def test_block_overflow_marker_forces_overflow(self):
-        """>128 selected minimizers in one 512-lane block (satellite-like) must
-        flag overflow so callers retry on the uncompacted path."""
+        """> _K=256 selected minimizers in one _CBLK-lane block (satellite-like)
+        must flag overflow so callers retry on the uncompacted path."""
         from mapquik_tpu.ops.seeding import seed_batch
 
         B, L = 32, 1024
