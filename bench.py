@@ -79,7 +79,9 @@ def main():
     from mapquik_tpu.eval.simulate import markov_genome, simulate_reads
     from mapquik_tpu.eval.mapeval import evaluate_paf
     from mapquik_tpu.index.build import build_index
-    from mapquik_tpu.ops.pipeline import Mapper, map_batch, format_paf
+    from mapquik_tpu.ops.pipeline import (
+        Mapper, format_paf, map_batch_flat_multi, unflatten_map_result,
+    )
     from mapquik_tpu.oracle.pyref import encode
 
     # 16MB default keeps the cold-start index build well inside the driver's
@@ -115,40 +117,59 @@ def main():
     log(f"steady host-path rebuild {index_steady_s:.2f}s "
         f"({genome_mb / index_steady_s:.1f} MB/s); packing batches")
 
-    # pack all batches up front (host prep excluded from steady-state timing)
+    # pack all batches up front (host prep excluded from steady-state timing);
+    # batches dispatch in groups of G per compiled program (the per-program
+    # relay dispatch floor is ~3-6 ms — see Params.dispatch_group)
     L = p.max_read_len
-    batches = []
-    for i in range(0, n_reads, B):
-        chunk = reads[i : i + B]
-        codes = np.full((B, L), 4, np.uint8)
-        lens = np.zeros(B, np.int32)
+    Gd = p.dispatch_group
+    assert (n_reads // B) % Gd == 0, "BENCH_READS must cover whole dispatch groups"
+    groups = []
+    for i in range(0, n_reads, B * Gd):
+        codes = np.full((Gd, B, L), 4, np.uint8)
+        lens = np.zeros((Gd, B), np.int32)
         nm = []
-        for j, (name, seq) in enumerate(chunk):
-            c = encode(seq)[:L]
-            codes[j, : len(c)] = c
-            lens[j] = len(c)
-            nm.append(name)
-        batches.append((jnp.asarray(codes), jnp.asarray(lens), nm))
+        for g in range(Gd):
+            chunk = reads[i + g * B : i + (g + 1) * B]
+            nm.append([name for name, _ in chunk])
+            for j, (name, seq) in enumerate(chunk):
+                c = encode(seq)[:L]
+                codes[g, j, : len(c)] = c
+                lens[g, j] = len(c)
+        groups.append((jnp.asarray(codes), jnp.asarray(lens), nm))
     ref_lens = jnp.asarray(meta.lengths.astype(np.int32))
 
     # warmup/compile
-    log("compiling map_batch")
-    res = map_batch(batches[0][0], batches[0][1], index, ref_lens, p, p.max_minimizers)
+    log(f"compiling map_batch (G={Gd})")
+    res = map_batch_flat_multi(
+        groups[0][0], groups[0][1], index, ref_lens, p, p.max_minimizers, Gd
+    )
     jax.block_until_ready(res)
     log("map_batch compiled; timing steady state")
 
     t0 = time.time()
     results = []
-    for codes, lens, nm in batches:
-        results.append(map_batch(codes, lens, index, ref_lens, p, p.max_minimizers))
+    for codes, lens, nm in groups:
+        results.append(
+            map_batch_flat_multi(codes, lens, index, ref_lens, p,
+                                 p.max_minimizers, Gd)
+        )
+    # block + pull a tiny slice of the LAST result: programs execute in order
+    # on the single device stream, so the last completing implies all did
+    # (block_until_ready alone does not await remote execution of small
+    # results on this backend)
     jax.block_until_ready(results)
+    np.asarray(results[-1][0, :2])
     map_s = time.time() - t0
     reads_per_s = n_reads / map_s
 
     # accuracy sanity on the same run
     paf = []
-    for (codes, lens, nm), res in zip(batches, results):
-        paf.extend(format_paf(nm, [int(x) for x in np.asarray(lens)], res, meta))
+    for (codes, lens, nm), res in zip(groups, results):
+        flat_h = np.asarray(res)
+        lens_h = np.asarray(lens)
+        for g in range(Gd):
+            mr = unflatten_map_result(flat_h[g])
+            paf.extend(format_paf(nm[g], [int(x) for x in lens_h[g]], mr, meta))
     ev = evaluate_paf(paf, n_reads=n_reads)
 
     # end-to-end throughput: raw (name, seq) records through the full Mapper

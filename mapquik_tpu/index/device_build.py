@@ -240,10 +240,27 @@ def build_index_device(
     if L > (1 << 20):
         return None
 
+    from ..io import native as _native
+
+    use_native_pack = _native.available()
     run = _make_batch_extract(p, cap, L)
     batches = []
     flag_acc = jnp.zeros(2, bool)
     total_windows = 0
+    # Window batches feed through ONE native C assembly+pack pass straight
+    # from the contig's code buffer (io/native.pack2_rows) into reused upload
+    # buffers. The prior path (fresh np.full((256, 32k)) ~140 ms of page
+    # faults + row memcpy + numpy pack2_host, per chunk) cost ~25 s of the
+    # 1 GB build's ~40 s. Fallback (no toolchain): warm reused [B, L] buffer.
+    # ring of 4 upload-buffer pairs: a buffer is never rewritten while its
+    # h2d transfer may still be in flight
+    _ring = [
+        (np.zeros((batch_windows, L // 4), dtype=np.uint8),
+         np.zeros((batch_windows, L // 8), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    _ri = 0
+    arr = None
     for rid, (codes, wins) in enumerate(encoded):
         if not wins:
             continue
@@ -256,18 +273,31 @@ def build_index_device(
         n_contig = np.int32(codes.shape[0])
         for i in range(0, len(wins), batch_windows):
             chunk = wins[i : i + batch_windows]
-            arr = np.full((batch_windows, L), 4, dtype=np.uint8)
             lens = np.zeros(batch_windows, dtype=np.int32)
             csa = np.zeros(batch_windows, dtype=np.int32)
             cea = np.zeros(batch_windows, dtype=np.int32)
             sea = np.zeros(batch_windows, dtype=np.int32)
+            rows: List = [None] * batch_windows
             for bi, (cs, ce, se) in enumerate(chunk):
-                arr[bi, : se - cs] = codes[cs:se]
+                rows[bi] = codes[cs:se]
                 lens[bi] = se - cs
                 csa[bi], cea[bi], sea[bi] = cs, ce, se
-            p2, mask = seeding.pack2_host(arr)
+            p2_buf, mask_buf = _ring[_ri % len(_ring)]
+            _ri += 1
+            if use_native_pack:
+                ok = _native.pack2_rows(rows, lens, L, p2_buf, mask_buf)
+                assert ok
+            else:
+                if arr is None:
+                    arr = np.full((batch_windows, L), 4, dtype=np.uint8)
+                arr[:] = 4
+                for bi, r in enumerate(rows):
+                    if r is not None:
+                        arr[bi, : r.shape[0]] = r
+                p2n, maskn = seeding.pack2_host(arr)
+                p2_buf[:], mask_buf[:] = p2n, maskn
             out = run(
-                jnp.asarray(p2), jnp.asarray(mask), jnp.asarray(lens),
+                jnp.asarray(p2_buf), jnp.asarray(mask_buf), jnp.asarray(lens),
                 jnp.asarray(csa), jnp.asarray(cea), jnp.asarray(sea),
                 n_contig, base, np.int32(rid),
             )

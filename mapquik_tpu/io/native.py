@@ -50,6 +50,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fx_parse.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(_FxResult)]
         lib.fx_parse.restype = ctypes.c_int
         lib.fx_free.argtypes = [ctypes.POINTER(_FxResult)]
+        lib.mq_pack2_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.mq_pack2_batch.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -92,6 +98,40 @@ def parse_file(path: str, n_threads: int = 0):
     finally:
         lib.fx_free(ctypes.byref(res))
     return codes, rec_off, names
+
+
+def pack2_rows(
+    rows: List[Optional[np.ndarray]],
+    lens: np.ndarray,
+    L: int,
+    out_p2: np.ndarray,
+    out_mask: np.ndarray,
+) -> bool:
+    """Fused batch assembly + 2-bit pack (native; see fastx.cpp mq_pack2_batch).
+
+    rows: per-read contiguous uint8 code arrays (None = empty row); lens int32
+    [B]; writes p2 into out_p2 [B, L//4] and the non-ACGT mask into out_mask
+    [B, L//8] — bit-identical to ops/seeding.pack2_host over a 4-padded [B, L]
+    buffer. Returns False when the native library is unavailable (caller uses
+    the numpy path)."""
+    lib = _load()
+    if lib is None:
+        return False
+    B = len(rows)
+    addrs = np.zeros(B, dtype=np.uint64)
+    for i, r in enumerate(rows):
+        if r is not None and r.size:
+            addrs[i] = r.ctypes.data
+    rc = lib.mq_pack2_batch(
+        addrs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        np.ascontiguousarray(lens, dtype=np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        ),
+        B, L,
+        out_p2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return rc == 0
 
 
 def iter_records(path: str, n_threads: int = 0) -> Optional[Iterator[Tuple[str, np.ndarray]]]:

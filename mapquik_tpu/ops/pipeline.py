@@ -127,6 +127,59 @@ def map_batch_packed2(
     return _flatten_map_result(res)
 
 
+@functools.partial(jax.jit, static_argnames=("p", "cap", "L", "G", "use_pallas"))
+def map_batch_packed2_multi(
+    p2: jax.Array,        # uint8 [G, B, L//4]
+    mask: jax.Array,      # uint8 [G, B, L//8]
+    lengths: jax.Array,   # int32 [G, B]
+    index,
+    ref_lens: jax.Array,
+    p: Params,
+    cap: int,
+    L: int,
+    G: int,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """G independent 256-read batches UNROLLED into one compiled program,
+    flat [G, B, 10] result. Dispatching one program per batch through this
+    environment's remote relay costs ~3-6 ms of fixed overhead per program
+    (measured: 27.6 -> 11.2 ms/batch going G=1 -> G=4 in one session,
+    scripts/r3_dispatch_probe.py); unrolling keeps every inner shape at the
+    [256, *] sweet spot (a flat B=512 batch is superlinear-worse in the row
+    sorts) while paying the dispatch floor once per G batches. The reference's
+    analog is its zero-overhead per-thread inner loop (src/closures.rs:183-187).
+    """
+    from .seeding import unpack2
+
+    outs = []
+    for g in range(G):
+        res = map_batch(
+            unpack2(p2[g], mask[g], L), lengths[g], index, ref_lens, p, cap,
+            use_pallas,
+        )
+        outs.append(_flatten_map_result(res))
+    return jnp.stack(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "cap", "G", "use_pallas"))
+def map_batch_flat_multi(
+    codes: jax.Array,     # uint8 [G, B, L]
+    lengths: jax.Array,   # int32 [G, B]
+    index,
+    ref_lens: jax.Array,
+    p: Params,
+    cap: int,
+    G: int,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """Raw-codes variant of map_batch_packed2_multi (bench / pre-staged data)."""
+    outs = []
+    for g in range(G):
+        res = map_batch(codes[g], lengths[g], index, ref_lens, p, cap, use_pallas)
+        outs.append(_flatten_map_result(res))
+    return jnp.stack(outs)
+
+
 def unflatten_map_result(flat: np.ndarray) -> MapResult:
     """Host-side inverse of map_batch_packed's flat layout."""
     return MapResult(
@@ -240,29 +293,44 @@ class Mapper:
             self._rings_active = True
             release_rings = True
 
+        from ..io import native as _native
+
+        use_native_pack = _native.available()
+        G = max(1, int(p.dispatch_group))
+
         class _Bin:
-            """Ring of reused batch buffers: a fresh np.full(8 MB) costs ~140 ms
-            on this single-core host (page faults dominated e2e throughput);
-            reused warm buffers with per-row tail resets are ~free. DEPTH+2
-            buffers guarantee no in-flight buffer is overwritten (retry needs
-            the host copy until its group finalizes). Rings persist on the
-            Mapper instance across map_reads calls."""
+            """Reads are held as ZERO-COPY code references (views into the
+            parser's buffer / encode_fast outputs); as each 256-read sub-batch
+            fills, one native C pass (io/native.pack2_rows) assembles +
+            2-bit-packs it straight into slice g of a reused [G, B, L/4]
+            upload buffer. When G sub-batches are staged they dispatch as ONE
+            compiled program (map_batch_packed2_multi — the per-program relay
+            dispatch floor is ~3-6 ms, so G=4 is worth ~2.5 ms/batch). The
+            round-2 design copied every read into a padded [B, L] ring and
+            packed with numpy — ~40-60 ms of single-core host time per batch,
+            which bounded e2e throughput at ~0.1-0.2x of device throughput.
+            Ring entries guarantee no upload buffer is reused while its
+            transfer may be in flight; rings persist across map_reads calls."""
 
             def __init__(self, Lb, cap):
                 self.L = Lb
                 self.cap = cap
                 self.names: List[str] = []
                 self.lens: List[int] = []
-                self._ring = rings.setdefault(
-                    (B, Lb), [np.full((B, Lb), 4, dtype=np.uint8)]
-                )
+                self.rows: List[np.ndarray] = []
+                self.staged: List[tuple] = []  # (names, lens, rows, lens_host)
+                self._ring = rings.setdefault((B, Lb), [self._alloc()])
                 self._ri = 0
                 self.buf = self._ring[0]
 
+            def _alloc(self):
+                return (np.zeros((G, B, self.L // 4), np.uint8),
+                        np.zeros((G, B, self.L // 8), np.uint8))
+
             def next_buf(self):
                 self._ri += 1
-                if len(self._ring) < DEPTH + 2:
-                    self._ring.append(np.full((B, self.L), 4, dtype=np.uint8))
+                if len(self._ring) < max(2, DEPTH // G) + 2:
+                    self._ring.append(self._alloc())
                 self.buf = self._ring[self._ri % len(self._ring)]
 
         state = [_Bin(Lb, cap) for Lb, cap in zip(bins, caps)]
@@ -273,28 +341,85 @@ class Mapper:
         DEPTH = 8
         pending: List[tuple] = []
 
-        def dispatch(bn: "_Bin"):
-            from .seeding import pack2_host, unpack2
+        def _pack_subbatch(bn: "_Bin"):
+            """Pack the current B reads into slice g of the bin's upload buffer."""
+            from .seeding import pack2_host
 
-            codes_host = bn.buf
-            p2, mask = pack2_host(codes_host)
-            p2_d, mask_d = jnp.asarray(p2), jnp.asarray(mask)
-            lens_host = np.asarray(bn.lens + [0] * (B - len(bn.lens)), dtype=np.int32)
-            lens_d = jnp.asarray(lens_host)
-            flat = map_batch_packed2(
-                p2_d, mask_d, lens_d, self.index, self.ref_lens, p, bn.cap, bn.L
-            )
-            loci = None
-            if stats is not None:
-                from .stats import read_stats_batch
-
-                loci = read_stats_batch(
-                    unpack2(p2_d, mask_d, bn.L), lens_d, self.index, p, bn.cap
+            g = len(bn.staged)
+            lens_host = np.zeros(B, dtype=np.int32)
+            lens_host[: len(bn.lens)] = bn.lens
+            p2, mask = bn.buf
+            if use_native_pack:
+                ok = _native.pack2_rows(
+                    bn.rows + [None] * (B - len(bn.rows)), lens_host, bn.L,
+                    p2[g], mask[g],
                 )
-            out = (bn.names, bn.lens, flat, loci, codes_host, lens_host, bn.cap, bn.L)
-            bn.names, bn.lens = [], []
+                assert ok
+            else:
+                codes_host = np.full((B, bn.L), 4, dtype=np.uint8)
+                for i, r in enumerate(bn.rows):
+                    codes_host[i, : r.shape[0]] = r
+                p2n, maskn = pack2_host(codes_host)
+                p2[g][:], mask[g][:] = p2n, maskn
+            bn.staged.append((bn.names, bn.lens, bn.rows, lens_host))
+            bn.names, bn.lens, bn.rows = [], [], []
+
+        def _stats_loci(p2_d, mask_d, lens_d, bn):
+            if stats is None:
+                return None
+            from .seeding import unpack2
+            from .stats import read_stats_batch
+
+            return read_stats_batch(
+                unpack2(p2_d, mask_d, bn.L), lens_d, self.index, p, bn.cap
+            )
+
+        def dispatch_full(bn: "_Bin"):
+            """All G staged sub-batches -> one compiled program; returns one
+            pending item per sub-batch."""
+            p2, mask = bn.buf
+            p2_d, mask_d = jnp.asarray(p2), jnp.asarray(mask)
+            lens_all = np.stack([s[3] for s in bn.staged])
+            lens_d = jnp.asarray(lens_all)
+            flat = map_batch_packed2_multi(
+                p2_d, mask_d, lens_d, self.index, self.ref_lens, p, bn.cap,
+                bn.L, G,
+            )
+            items = []
+            for g, (nm, ln, rows_g, lens_host) in enumerate(bn.staged):
+                loci = _stats_loci(p2_d[g], mask_d[g], lens_d[g], bn)
+                items.append((nm, ln, flat[g], loci, rows_g, lens_host, bn.cap, bn.L))
+            bn.staged = []
             bn.next_buf()
-            return out
+            return items
+
+        def dispatch_tail(bn: "_Bin"):
+            """Flush: leftover staged sub-batches (< G) go through the
+            single-batch program (shared with small inputs; no extra compile
+            of a partial-G variant)."""
+            if bn.rows or bn.names:
+                _pack_subbatch(bn)
+            p2, mask = bn.buf
+            items = []
+            for g, (nm, ln, rows_g, lens_host) in enumerate(bn.staged):
+                p2_d, mask_d = jnp.asarray(p2[g]), jnp.asarray(mask[g])
+                lens_d = jnp.asarray(lens_host)
+                flat = map_batch_packed2(
+                    p2_d, mask_d, lens_d, self.index, self.ref_lens, p, bn.cap,
+                    bn.L,
+                )
+                loci = _stats_loci(p2_d, mask_d, lens_d, bn)
+                items.append((nm, ln, flat, loci, rows_g, lens_host, bn.cap, bn.L))
+            bn.staged = []
+            bn.next_buf()
+            return items
+
+        def dispatch(bn: "_Bin"):
+            """A full B-read sub-batch is ready: stage it; dispatch when G are."""
+            _pack_subbatch(bn)
+            if len(bn.staged) == G:
+                return dispatch_full(bn)
+            return []
 
         def finalize_group(items):
             if not items:
@@ -310,7 +435,7 @@ class Mapper:
                 yield from finalize(item, flat_h)
 
         def finalize(item, flat_h):
-            f_names, f_lens, flat, loci, codes_host, lens_host, cap0, Lb = item
+            f_names, f_lens, flat, loci, rows_refs, lens_host, cap0, Lb = item
             # overflow retry (mirrors the index builder's doubled-cap retry,
             # index/build.py): a clipped read's PAF line may be wrong, so clipped
             # reads are re-dispatched at doubled caps until none overflow — never
@@ -333,8 +458,9 @@ class Mapper:
                     f"them at cap {cap}",
                     file=sys.stderr,
                 )
-                rbuf = np.full_like(codes_host, 4)
-                rbuf[: rows.size] = codes_host[rows]
+                rbuf = np.full((lens_host.shape[0], Lb), 4, dtype=np.uint8)
+                for ri, r in enumerate(rows):
+                    rbuf[ri, : lens_host[r]] = rows_refs[r][: lens_host[r]]
                 rlens = np.zeros_like(lens_host)
                 rlens[: rows.size] = lens_host[rows]
                 # attempt >= 2 or cap maxed: the overflow may be the Pallas
@@ -355,13 +481,14 @@ class Mapper:
 
         try:
             yield from self._map_reads_run(reads, state, pending, dispatch,
-                                           finalize_group, p, B, DEPTH)
+                                           dispatch_tail, finalize_group, p, B,
+                                           DEPTH)
         finally:
             if release_rings:
                 self._rings_active = False
 
-    def _map_reads_run(self, reads, state, pending, dispatch, finalize_group,
-                       p, B, DEPTH):
+    def _map_reads_run(self, reads, state, pending, dispatch, dispatch_tail,
+                       finalize_group, p, B, DEPTH):
         n_truncated = 0
         for name, seq in reads:
             codes = seq if isinstance(seq, np.ndarray) else encode_fast(seq)
@@ -379,18 +506,18 @@ class Mapper:
                 n_truncated += 1
                 codes = codes[: p.max_read_len]
                 Lr = p.max_read_len
+            if codes.dtype != np.uint8 or not codes.flags.c_contiguous:
+                codes = np.ascontiguousarray(codes, dtype=np.uint8)
             bn = next(b for b in state if Lr <= b.L)
-            row = bn.buf[len(bn.names)]
-            row[:Lr] = codes
-            row[Lr:] = 4  # reset the reused buffer's tail (stale prior batch)
+            bn.rows.append(codes)
             bn.names.append(name)
             bn.lens.append(Lr)
             if len(bn.names) == B:
-                pending.append(dispatch(bn))
+                pending.extend(dispatch(bn))
                 if len(pending) >= DEPTH:
                     yield from finalize_group(pending)
                     pending = []
         for bn in state:
-            if bn.names:
-                pending.append(dispatch(bn))
+            if bn.names or bn.staged:
+                pending.extend(dispatch_tail(bn))
         yield from finalize_group(pending)
