@@ -33,11 +33,17 @@ _EMPTY = np.uint32(0xFFFFFFFF)
 _EMPTY_I = np.int32(-1)  # 0xFFFFFFFF as int32
 
 
-class HashIndex(NamedTuple):
-    """slots[s, b] = (h1, h2, rid, start, end, offset, rc) as int32 (h1/h2
-    bit-cast; empty slots carry h1 == h2 == -1)."""
+NCOL = 6  # slot columns: h1, h2, ridrc, start, end, offset
 
-    slots: jax.Array  # int32 [S, BUCKET, 7]
+
+class HashIndex(NamedTuple):
+    """slots[s, b] = (h1, h2, ridrc, start, end, offset) as int32 (h1/h2
+    bit-cast; ridrc = rid << 1 | rc — packing the 1-bit strand into the
+    contig id shrinks the table 28 -> 24 B/slot, which matters at CHM13
+    scale: ~40M keys -> the table is the dominant HBM resident. Empty slots
+    carry h1 == h2 == -1."""
+
+    slots: jax.Array  # int32 [S, BUCKET, NCOL]
 
     @property
     def n_buckets(self) -> int:
@@ -48,7 +54,7 @@ class HashIndex(NamedTuple):
         """Stored key count: non-sentinel slots, counted ON DEVICE (pulling
         the full table costs seconds through this environment's ~25 MB/s d2h
         tunnel; the scalar pull is ~0.1 s)."""
-        k = self.slots.reshape(-1, 7)
+        k = self.slots.reshape(-1, NCOL)
         return int(jnp.sum(~((k[:, 0] == _EMPTY_I) & (k[:, 1] == _EMPTY_I))))
 
 
@@ -61,17 +67,16 @@ def _buckets(h1: np.ndarray, h2: np.ndarray, mask: int):
 
 def pack_slots(S: int, slot_of, h1, h2, rid, start, end, offset, rc) -> np.ndarray:
     """Host-side slot-array assembly from flat placements (slot_of int64 [n])."""
-    slots = np.zeros((S * BUCKET, 7), dtype=np.int32)
+    slots = np.zeros((S * BUCKET, NCOL), dtype=np.int32)
     slots[:, 0] = _EMPTY_I
     slots[:, 1] = _EMPTY_I
     slots[slot_of, 0] = h1.astype(np.int64).astype(np.int32)
     slots[slot_of, 1] = h2.astype(np.int64).astype(np.int32)
-    slots[slot_of, 2] = rid
+    slots[slot_of, 2] = (np.asarray(rid, np.int32) << 1) | np.asarray(rc, np.int32)
     slots[slot_of, 3] = start
     slots[slot_of, 4] = end
     slots[slot_of, 5] = offset
-    slots[slot_of, 6] = rc
-    return slots.reshape(S, BUCKET, 7)
+    return slots.reshape(S, BUCKET, NCOL)
 
 
 def build_hash_index(
@@ -103,14 +108,22 @@ def build_hash_index(
 
 def _try_place(h1: np.ndarray, h2: np.ndarray, S: int):
     """Vectorized greedy placement rounds: for each (choice, slot-offset) pair, the
-    first unplaced claimant of each free slot wins. Returns flat slot per key or None
-    if some keys could not be placed at this size."""
+    first unplaced claimant of each free slot wins. Each key aims FIRST at the
+    choice with the smaller total demand (plain first-fit-b1 fails per-mille of
+    keys at load 0.5 and forces a 2x table; demand-balanced greedy measures zero
+    failures through 0.5 — scripts/r3_placement_load.py). Returns flat slot per
+    key or None if some keys could not be placed at this size."""
     n = h1.shape[0]
     mask = S - 1
     b1, b2 = _buckets(h1, h2, mask)
+    d1 = np.bincount(b1, minlength=S)
+    d2 = np.bincount(b2, minlength=S)
+    use2 = d2[b2] < d1[b1]
+    first = np.where(use2, b2, b1)
+    second = np.where(use2, b1, b2)
     slot_of = np.full(n, -1, dtype=np.int64)
     taken = np.zeros(S * BUCKET, dtype=bool)
-    for bb in (b1, b2):
+    for bb in (first, second):
         for off in range(BUCKET):
             un = slot_of < 0
             if not un.any():
@@ -157,12 +170,12 @@ def probe_hash(index: HashIndex, qh1: jax.Array, qh2: jax.Array) -> ProbeResult:
         ),
         axis=-1,
     )
-    pay = slots.reshape(S * BUCKET, 7)[jnp.maximum(slot, 0)]  # [..., 7]
+    pay = slots.reshape(S * BUCKET, NCOL)[jnp.maximum(slot, 0)]  # [..., NCOL]
     return ProbeResult(
         hit=hit,
-        rid=pay[..., 2],
+        rid=pay[..., 2] >> 1,
         start=pay[..., 3],
         end=pay[..., 4],
         offset=pay[..., 5],
-        rc=pay[..., 6].astype(bool),
+        rc=(pay[..., 2] & 1).astype(bool),
     )

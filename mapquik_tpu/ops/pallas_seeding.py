@@ -215,16 +215,37 @@ def pallas_available(B: int, L: int, l: int) -> bool:
 #     homopolymer-rich STR regions): MARKER flag.
 # ---------------------------------------------------------------------------
 
-_K = 256                        # compacted seeds per block (lane-tile width)
 _MARKER = np.int32(0x7FFFFFFE)  # poskey flag: fall back to the uncompacted path
 _H = 256                        # right-halo lanes: >= l runs ahead of any owned
                                 # entry for run density >= l/_H (~0.12; random DNA
                                 # is ~0.75) — rarer regions hit the MARKER fallback
-_CBLK = 1024                    # compaction kernel core width (wider than the
-                                # round-1 kernels' 512: amortizes the halo)
+_CBLK = 2048                    # compaction kernel core width (wider than the
+                                # round-1 kernels' 512: amortizes the halo —
+                                # 2048 cuts the halo fraction to 12.5% and
+                                # halves the post-kernel merge-sort width;
+                                # measured 14.9 -> 14.1 ms/batch vs 1024 with
+                                # bit-identical output, scripts/r3_probe2.py)
 _WC = _CBLK + _H                # compaction window width
 
 _INTERPRET = False  # test hook: run the compaction kernels interpreted on CPU
+
+
+def block_cap(threshold: int) -> int:
+    """Per-block compacted-output cap (lane-tile multiple): covers the mean
+    selected count of a _CBLK-lane block plus 6 sigma. The selection rate per
+    stream entry is ~2 * density (canonical = min of two hashes, each under
+    the threshold with probability d), so the cap must scale with density or
+    higher-density presets (d=0.05) would constantly hit the overflow marker
+    and fall back to the slow exact path. Floor 256 keeps the d<=0.02
+    production shapes identical to the measured config."""
+    import math
+
+    d = min(1.0, threshold / 4294967296.0)
+    m = 2.0 * d * _CBLK
+    need = m + 6.0 * math.sqrt(max(m, 1.0)) + 32
+    # ceiling 1024: beyond (density ~0.2) the marker->exact-path fallback
+    # handles it — extreme densities are outside the production envelope
+    return min(1024, max(256, 128 * math.ceil(need / 128.0)))
 
 
 def _add_scan(x, lane, width):
@@ -336,13 +357,14 @@ def _window_or(v, l):
 
 
 def _kernel_seed_compact(
-    l: int, threshold: int, ck_ref, look1_ref, look2_ref, canon_out, pse_out,
+    l: int, threshold: int, kblk: int, ck_ref, look1_ref, look2_ref, canon_out,
+    pse_out,
 ):
     """One pass: HPC compaction + canonical ntHash + density selection +
-    minimizer compaction, all in VMEM over a 512-core + 256-halo window.
+    minimizer compaction, all in VMEM over a _CBLK-core + _H-halo window.
 
     ck: u8 (code | run_start_flag << 3) per base, INVALID-padded (io prep in
-    seeding._pack_ck). Outputs per block [32, _K]: canon (u32 hash) and pse
+    seeding._pack_ck). Outputs per block [32, kblk]: canon (u32 hash) and pse
     ((start<<16)|end packed coords; 0x7FFFFFFF = empty slot, 0x7FFFFFFE =
     fallback marker). pse is also the position sort key."""
     j = pl.program_id(1)
@@ -389,7 +411,7 @@ def _kernel_seed_compact(
     count2 = jnp.broadcast_to(r2[:, _WC - 1 : _WC], (_SUB, _WC))
 
     # --- fallback markers ---
-    # (a) more than _K selected in this block;
+    # (a) more than kblk selected in this block;
     # (b) an owned valid-code entry's l-run window ran out of local stream
     #     while the stream did NOT end at the sequence end (halo exhausted)
     need = _and_i32(
@@ -403,15 +425,15 @@ def _kernel_seed_compact(
         jnp.max(last_inval, axis=1, keepdims=True), (_SUB, _WC)
     )
     mark = _and_i32(
-        jnp.logical_or(count2 > _K, (any_need > 0) & (stream_eof == 0)),
-        lane == _K - 1,
+        jnp.logical_or(count2 > kblk, (any_need > 0) & (stream_eof == 0)),
+        lane == kblk - 1,
     ) != 0
     pse_v = jnp.where(mark, _MARKER, pse_v)
-    canon_out[:, :] = canon_v[:, :_K]
-    pse_out[:, :] = pse_v[:, :_K]
+    canon_out[:, :] = canon_v[:, :kblk]
+    pse_out[:, :] = pse_v[:, :kblk]
 
 
-def _specs_compact():
+def _specs_compact(kblk: int):
     ispec = [
         pl.BlockSpec((_SUB, _CBLK), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((_SUB, 128), lambda i, j: (i, (j * _CBLK + _CBLK) // 128),
@@ -419,7 +441,7 @@ def _specs_compact():
         pl.BlockSpec((_SUB, 128), lambda i, j: (i, (j * _CBLK + _CBLK) // 128 + 1),
                      memory_space=pltpu.VMEM),
     ]
-    ospec = pl.BlockSpec((_SUB, _K), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((_SUB, kblk), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     return ispec, ospec
 
 
@@ -428,18 +450,19 @@ def seed_select_compact(
     ck: jax.Array, l: int, threshold: int, L: int, interpret: bool = False,
 ):
     """Packed code|keep bytes [B, L + _H] -> per-block-compacted minimizer
-    pair, each [B, (L//512)*_K]: canon (u32 minimizer hash) and pse
+    pair, each [B, (L//_CBLK)*block_cap]: canon (u32 minimizer hash) and pse
     ((start<<16)|end packed base coords — also the position sort key;
     0x7FFFFFFF = empty slot, 0x7FFFFFFE = fallback marker). Merge across
     blocks with one small sort keyed on pse."""
     B = ck.shape[0]
     assert ck.shape[1] == L + _H
     assert B % _SUB == 0 and L % _BLK == 0 and 4 <= l <= 32 and L <= (1 << 15)
+    kblk = block_cap(threshold)
     grid = (B // _SUB, L // _CBLK)
-    ispec, ospec = _specs_compact()
-    nbK = (L // _CBLK) * _K
+    ispec, ospec = _specs_compact(kblk)
+    nbK = (L // _CBLK) * kblk
     canon, pse = pl.pallas_call(
-        functools.partial(_kernel_seed_compact, l, threshold),
+        functools.partial(_kernel_seed_compact, l, threshold, kblk),
         grid=grid,
         in_specs=ispec,
         out_specs=[ospec, ospec],

@@ -315,8 +315,8 @@ def _minimizers_compact_pallas(codes, lengths, p: Params, cap: int):
     n_sel = jnp.sum((pse < _MARKER).astype(jnp.int32), axis=1)
     block_ovf = jnp.any(pse == _MARKER, axis=1)
     mn = jnp.minimum(n_sel, cap)
-    # a block-compaction overflow (> _K=256 selected in one _CBLK-lane block —
-    # only satellite-like repeats do this) forces the caller's retry, which
+    # a block-compaction overflow (> block_cap(threshold) selected in one
+    # _CBLK-lane block — only satellite-like repeats do this) forces retry, which
     # falls back to the uncompacted path (use_pallas=False) for exactness
     mn_true = jnp.where(block_ovf, np.int32(cap + 1), n_sel)
     return mhash, mstart, mend, mn, mn_true

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..index.hashtable import BUCKET, HashIndex, build_hash_index
+from ..index.hashtable import BUCKET, NCOL, HashIndex, build_hash_index
 from ..index.lookup import ProbeResult
 from ..ops.chaining import MapResult, chain_and_select, project_coords
 from ..ops.matching import find_matches
@@ -39,7 +39,7 @@ class ShardedHashIndex:
     """Host-side container: per-shard tables stacked with a leading shard axis."""
 
     def __init__(self, slots: jax.Array, n_shards: int, n: int):
-        self.slots = slots      # int32 [D, S, 8, 7] (fused keys+payload)
+        self.slots = slots      # int32 [D, S, 8, NCOL] (fused keys+payload)
         self.n_shards = n_shards
         self.n = n              # total stored keys
 
@@ -57,7 +57,7 @@ def build_sharded_index(
             build_hash_index(h1[m], h2[m], rid[m], start[m], end[m], offset[m], rc[m])
         )
     S = max(t.n_buckets for t in tables)
-    slots = np.zeros((n_shards, S, BUCKET, 7), dtype=np.int32)
+    slots = np.zeros((n_shards, S, BUCKET, NCOL), dtype=np.int32)
     slots[..., 0] = -1
     slots[..., 1] = -1
     for s, t in enumerate(tables):
@@ -79,7 +79,7 @@ def _probe_shard(slots, qh1, qh2, shard_id, n_shards):
     mask = np.uint32(S - 1)
     b1 = (qh1 & mask).astype(jnp.int32)
     b2 = ((qh2 ^ (qh1 >> 16)) & mask).astype(jnp.int32)
-    r12 = slots[jnp.concatenate([b1, b2], axis=-1)]  # [..., 2M, 8, 7]
+    r12 = slots[jnp.concatenate([b1, b2], axis=-1)]  # [..., 2M, 8, NCOL]
     r1, r2 = jnp.split(r12, 2, axis=-3)
     q1 = jax.lax.bitcast_convert_type(qh1, jnp.int32)[..., None]
     q2 = jax.lax.bitcast_convert_type(qh2, jnp.int32)[..., None]
@@ -93,7 +93,8 @@ def _probe_shard(slots, qh1, qh2, shard_id, n_shards):
         b = jnp.max(jnp.where(m2, r2[..., field], np.int32(-1)), axis=-1)
         return jnp.maximum(jnp.maximum(a, b), 0)
 
-    pay = jnp.stack([pick(2), pick(3), pick(4), pick(5), pick(6)], axis=-1)
+    # columns: ridrc, start, end, offset (hashtable.py NCOL layout)
+    pay = jnp.stack([pick(2), pick(3), pick(4), pick(5)], axis=-1)
     pay = jnp.where(hit[..., None], pay, 0)
     return hit, pay
 
@@ -114,12 +115,12 @@ def _map_batch_hash_sharded(codes, lengths, slots, ref_lens, p: Params,
         hit, pay = _probe_shard(slots_s, gh1, gh2, shard_id, D)
         combined = jnp.concatenate(
             [hit[..., None].astype(jnp.int32), pay], axis=-1
-        )  # [B, M, 6]
+        )  # [B, M, 5]
         local = jax.lax.psum_scatter(combined, "dp", scatter_dimension=0, tiled=True)
         pr = ProbeResult(
             hit=local[..., 0] > 0,
-            rid=local[..., 1], start=local[..., 2], end=local[..., 3],
-            offset=local[..., 4], rc=local[..., 5].astype(bool),
+            rid=local[..., 1] >> 1, start=local[..., 2], end=local[..., 3],
+            offset=local[..., 4], rc=(local[..., 1] & 1).astype(bool),
         )
         mb = find_matches(sb, pr, p)
         sel = chain_and_select(mb, p)

@@ -89,19 +89,22 @@ class TestSeedSelectCompact:
         self._compare(p, codes, lens, cap=512)
 
     def test_block_overflow_marker_forces_overflow(self):
-        """> _K=256 selected minimizers in one _CBLK-lane block (satellite-like)
-        must flag overflow so callers retry on the uncompacted path."""
+        """> block_cap selected minimizers in one _CBLK-lane block
+        (satellite-like) must flag overflow so callers retry on the
+        uncompacted path."""
         from mapquik_tpu.ops.seeding import seed_batch
 
-        B, L = 32, 1024
+        from mapquik_tpu.ops import pallas_seeding
+
+        B, L = 32, pallas_seeding._CBLK
         p = Params(k=4, l=4, density=0.5, use_hpc=False, max_read_len=L,
-                   max_minimizers=1024, ref_window_minimizers=1024)
+                   max_minimizers=L, ref_window_minimizers=L)
         rng = np.random.default_rng(0)
         codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
         lens = np.full(B, L, np.int32)
-        sb_k = seed_batch(jnp.asarray(codes), jnp.asarray(lens), p, 1024,
+        sb_k = seed_batch(jnp.asarray(codes), jnp.asarray(lens), p, L,
                           use_pallas=True)
-        sb_x = seed_batch(jnp.asarray(codes), jnp.asarray(lens), p, 1024,
+        sb_x = seed_batch(jnp.asarray(codes), jnp.asarray(lens), p, L,
                           use_pallas=False)
         # the XLA path has capacity for every seed (cap == L) -> no overflow;
         # the kernel path's per-block cap must detect and report

@@ -67,7 +67,7 @@ class TestDeviceBuild:
         import jax.numpy as jnp
 
         from mapquik_tpu.index.device_build import build_index_device
-        from mapquik_tpu.index.hashtable import probe_hash
+        from mapquik_tpu.index.hashtable import NCOL, probe_hash
 
         host_idx, host_meta = build_index(genome, P, backend="hash", device=False)
         got = build_index_device(genome, P)
@@ -77,7 +77,7 @@ class TestDeviceBuild:
         np.testing.assert_array_equal(dev_meta.lengths, host_meta.lengths)
         assert dev_idx.n == host_idx.n > 0
         rng = np.random.default_rng(1)
-        hk = np.asarray(host_idx.slots).reshape(-1, 7)[:, :2].astype(np.uint32)
+        hk = np.asarray(host_idx.slots).reshape(-1, NCOL)[:, :2].astype(np.uint32)
         real = hk[(hk[:, 0] != 0xFFFFFFFF) | (hk[:, 1] != 0xFFFFFFFF)]
         nq = 512
         take = rng.integers(0, real.shape[0], nq // 2)
