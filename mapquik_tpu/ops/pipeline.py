@@ -297,6 +297,7 @@ class Mapper:
 
         use_native_pack = _native.available()
         G = max(1, int(p.dispatch_group))
+        _DISPATCH_Q = 2  # upload/dispatch jobs in flight behind the worker
 
         class _Bin:
             """Reads are held as ZERO-COPY code references (views into the
@@ -329,12 +330,12 @@ class Mapper:
 
             def next_buf(self):
                 self._ri += 1
-                if len(self._ring) < max(2, DEPTH // G) + 2:
+                if len(self._ring) < _DISPATCH_Q + 3:
                     self._ring.append(self._alloc())
                 self.buf = self._ring[self._ri % len(self._ring)]
 
         state = [_Bin(Lb, cap) for Lb, cap in zip(bins, caps)]
-        # Grouped finalization: each d2h pull costs ~0.13 s LATENCY on this
+        # Grouped finalization: each d2h pull costs ~30-130 ms LATENCY on this
         # environment regardless of size, so pulling per batch caps e2e at
         # ~750 reads/s while the device maps ~16k/s. Keep DEPTH batches in
         # flight and pull their [B, 10] results as ONE concatenated array.
@@ -364,62 +365,115 @@ class Mapper:
             bn.staged.append((bn.names, bn.lens, bn.rows, lens_host))
             bn.names, bn.lens, bn.rows = [], [], []
 
-        def _stats_loci(p2_d, mask_d, lens_d, bn):
+        def _stats_loci(p2_d, mask_d, lens_d, cap, L):
             if stats is None:
                 return None
             from .seeding import unpack2
             from .stats import read_stats_batch
 
             return read_stats_batch(
-                unpack2(p2_d, mask_d, bn.L), lens_d, self.index, p, bn.cap
+                unpack2(p2_d, mask_d, L), lens_d, self.index, p, cap
             )
 
-        def dispatch_full(bn: "_Bin"):
-            """All G staged sub-batches -> one compiled program; returns one
-            pending item per sub-batch."""
-            p2, mask = bn.buf
+        def _run_group(buf, staged, cap, L):
+            """Upload + dispatch G staged sub-batches as one program (runs on
+            the dispatch worker thread)."""
+            p2, mask = buf
             p2_d, mask_d = jnp.asarray(p2), jnp.asarray(mask)
-            lens_all = np.stack([s[3] for s in bn.staged])
+            lens_all = np.stack([s[3] for s in staged])
             lens_d = jnp.asarray(lens_all)
             flat = map_batch_packed2_multi(
-                p2_d, mask_d, lens_d, self.index, self.ref_lens, p, bn.cap,
-                bn.L, G,
+                p2_d, mask_d, lens_d, self.index, self.ref_lens, p, cap, L, G
             )
             items = []
-            for g, (nm, ln, rows_g, lens_host) in enumerate(bn.staged):
-                loci = _stats_loci(p2_d[g], mask_d[g], lens_d[g], bn)
-                items.append((nm, ln, flat[g], loci, rows_g, lens_host, bn.cap, bn.L))
-            bn.staged = []
-            bn.next_buf()
+            for g, (nm, ln, rows_g, lens_host) in enumerate(staged):
+                loci = _stats_loci(p2_d[g], mask_d[g], lens_d[g], cap, L)
+                items.append((nm, ln, flat[g], loci, rows_g, lens_host, cap, L))
             return items
 
-        def dispatch_tail(bn: "_Bin"):
-            """Flush: leftover staged sub-batches (< G) go through the
-            single-batch program (shared with small inputs; no extra compile
-            of a partial-G variant)."""
-            if bn.rows or bn.names:
-                _pack_subbatch(bn)
-            p2, mask = bn.buf
+        def _run_tail(buf, staged, cap, L):
+            """Leftover staged sub-batches (< G) through the single-batch
+            program (shared with small inputs; no partial-G compile)."""
+            p2, mask = buf
             items = []
-            for g, (nm, ln, rows_g, lens_host) in enumerate(bn.staged):
+            for g, (nm, ln, rows_g, lens_host) in enumerate(staged):
                 p2_d, mask_d = jnp.asarray(p2[g]), jnp.asarray(mask[g])
                 lens_d = jnp.asarray(lens_host)
                 flat = map_batch_packed2(
-                    p2_d, mask_d, lens_d, self.index, self.ref_lens, p, bn.cap,
-                    bn.L,
+                    p2_d, mask_d, lens_d, self.index, self.ref_lens, p, cap, L
                 )
-                loci = _stats_loci(p2_d, mask_d, lens_d, bn)
-                items.append((nm, ln, flat, loci, rows_g, lens_host, bn.cap, bn.L))
-            bn.staged = []
-            bn.next_buf()
+                loci = _stats_loci(p2_d, mask_d, lens_d, cap, L)
+                items.append((nm, ln, flat, loci, rows_g, lens_host, cap, L))
             return items
 
+        # --- dispatch worker: uploads + program dispatches run on ONE
+        # background thread so the h2d transfer (which releases the GIL, and
+        # runs 27..650 MB/s depending on the relay's phase) overlaps the main
+        # thread's encode/pack/format work. FIFO jobs keep output order; the
+        # bounded queue is the ring-reuse backpressure (a buffer is never
+        # rewritten until its job completed). The reference overlaps via its
+        # worker thread pool (src/closures.rs:183-205).
+        import queue as _queue
+        import threading as _threading
+
+        jobs: "_queue.Queue" = _queue.Queue(maxsize=_DISPATCH_Q)
+        done_q: "_queue.Queue" = _queue.Queue()
+        worker_err: List[BaseException] = []
+
+        def _worker():
+            while True:
+                fn = jobs.get()
+                if fn is None:
+                    return
+                try:
+                    done_q.put(fn())
+                except BaseException as e:  # pragma: no cover - surfaced below
+                    worker_err.append(e)
+                    done_q.put(None)
+
+        wt = _threading.Thread(target=_worker, daemon=True)
+        wt.start()
+
+        def drain():
+            """Move completed dispatches into pending (non-blocking)."""
+            while True:
+                if worker_err:
+                    raise worker_err[0]
+                try:
+                    items = done_q.get_nowait()
+                except _queue.Empty:
+                    return
+                if items is not None:
+                    pending.extend(items)
+
         def dispatch(bn: "_Bin"):
-            """A full B-read sub-batch is ready: stage it; dispatch when G are."""
+            """A full B-read sub-batch is ready: stage it; enqueue when G are."""
             _pack_subbatch(bn)
             if len(bn.staged) == G:
-                return dispatch_full(bn)
-            return []
+                snap = (bn.buf, bn.staged, bn.cap, bn.L)
+                bn.staged = []
+                bn.next_buf()
+                jobs.put(lambda s=snap: _run_group(*s))
+
+        def dispatch_tail(bn: "_Bin"):
+            if bn.rows or bn.names:
+                _pack_subbatch(bn)
+            if bn.staged:
+                snap = (bn.buf, bn.staged, bn.cap, bn.L)
+                bn.staged = []
+                bn.next_buf()
+                jobs.put(lambda s=snap: _run_tail(*s))
+
+        def shutdown_worker():
+            while True:
+                try:
+                    jobs.put_nowait(None)
+                    break
+                except _queue.Full:
+                    import time as _time
+
+                    _time.sleep(0.005)
+            wt.join()
 
         def finalize_group(items):
             if not items:
@@ -479,45 +533,47 @@ class Mapper:
                 stats.write_batch(f_names, np.asarray(loci)[: len(f_names)])
             return format_paf(f_names, f_lens, res, self.meta)
 
+        def run():
+            n_truncated = 0
+            for name, seq in reads:
+                codes = seq if isinstance(seq, np.ndarray) else encode_fast(seq)
+                Lr = codes.shape[0]
+                if Lr > p.max_read_len:
+                    if n_truncated == 0:
+                        import sys
+
+                        print(
+                            f"Warning: read {name} ({Lr} bp) exceeds max_read_len "
+                            f"({p.max_read_len}); truncating (raise --max-read-len "
+                            f"for full-length parity with the reference).",
+                            file=sys.stderr,
+                        )
+                    n_truncated += 1
+                    codes = codes[: p.max_read_len]
+                    Lr = p.max_read_len
+                if codes.dtype != np.uint8 or not codes.flags.c_contiguous:
+                    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+                bn = next(b for b in state if Lr <= b.L)
+                bn.rows.append(codes)
+                bn.names.append(name)
+                bn.lens.append(Lr)
+                if len(bn.names) == B:
+                    dispatch(bn)
+                    drain()
+                    if len(pending) >= DEPTH:
+                        group = pending[:]
+                        pending.clear()
+                        yield from finalize_group(group)
+            for bn in state:
+                if bn.names or bn.staged:
+                    dispatch_tail(bn)
+            shutdown_worker()
+            drain()
+            yield from finalize_group(pending)
+
         try:
-            yield from self._map_reads_run(reads, state, pending, dispatch,
-                                           dispatch_tail, finalize_group, p, B,
-                                           DEPTH)
+            yield from run()
         finally:
+            shutdown_worker()
             if release_rings:
                 self._rings_active = False
-
-    def _map_reads_run(self, reads, state, pending, dispatch, dispatch_tail,
-                       finalize_group, p, B, DEPTH):
-        n_truncated = 0
-        for name, seq in reads:
-            codes = seq if isinstance(seq, np.ndarray) else encode_fast(seq)
-            Lr = codes.shape[0]
-            if Lr > p.max_read_len:
-                if n_truncated == 0:
-                    import sys
-
-                    print(
-                        f"Warning: read {name} ({Lr} bp) exceeds max_read_len "
-                        f"({p.max_read_len}); truncating (raise --max-read-len for "
-                        f"full-length parity with the reference).",
-                        file=sys.stderr,
-                    )
-                n_truncated += 1
-                codes = codes[: p.max_read_len]
-                Lr = p.max_read_len
-            if codes.dtype != np.uint8 or not codes.flags.c_contiguous:
-                codes = np.ascontiguousarray(codes, dtype=np.uint8)
-            bn = next(b for b in state if Lr <= b.L)
-            bn.rows.append(codes)
-            bn.names.append(name)
-            bn.lens.append(Lr)
-            if len(bn.names) == B:
-                pending.extend(dispatch(bn))
-                if len(pending) >= DEPTH:
-                    yield from finalize_group(pending)
-                    pending = []
-        for bn in state:
-            if bn.names or bn.staged:
-                pending.extend(dispatch_tail(bn))
-        yield from finalize_group(pending)
