@@ -88,12 +88,17 @@ def main():
     # budget even when the remote compile relay is in a slow phase (observed
     # variance: same program 9s..300s); BENCH_GENOME_MB=32+ for bigger runs
     genome_mb = int(os.environ.get("BENCH_GENOME_MB", "16"))
-    n_reads = int(os.environ.get("BENCH_READS", "2048"))
+    n_reads = int(os.environ.get("BENCH_READS", "4096"))
     B = int(os.environ.get("BENCH_BATCH", "256"))
     p = Params(
         k=7, l=31, density=0.01,  # human-scale headline params (table1.sh k=7 l=31 d=0.01)
-        max_read_len=1 << 15, max_minimizers=1 << 9, batch_size=B,
+        batch_size=B,  # length bins / caps: honest defaults (see Params)
     )
+    # fixed headline shape: every read padded to the 32 kb fast-path bin at
+    # seed cap 512 (clipped reads are COUNTED in extras and stay ~0 for this
+    # 24 kb-mean workload; the e2e path below uses the honest per-bin caps)
+    CAP = 1 << 9
+    L_HEAD = 1 << 15
 
     log(f"device {jax.devices()[0]}; genome {genome_mb}MB, {n_reads} reads, B={B}")
     genome = markov_genome(genome_mb * 1_000_000, seed=11, n_contigs=4)
@@ -120,7 +125,7 @@ def main():
     # pack all batches up front (host prep excluded from steady-state timing);
     # batches dispatch in groups of G per compiled program (the per-program
     # relay dispatch floor is ~3-6 ms — see Params.dispatch_group)
-    L = p.max_read_len
+    L = L_HEAD
     Gd = p.dispatch_group
     assert (n_reads // B) % Gd == 0, "BENCH_READS must cover whole dispatch groups"
     groups = []
@@ -141,34 +146,41 @@ def main():
     # warmup/compile
     log(f"compiling map_batch (G={Gd})")
     res = map_batch_flat_multi(
-        groups[0][0], groups[0][1], index, ref_lens, p, p.max_minimizers, Gd
+        groups[0][0], groups[0][1], index, ref_lens, p, CAP, Gd
     )
     jax.block_until_ready(res)
     log("map_batch compiled; timing steady state")
 
-    t0 = time.time()
-    results = []
-    for codes, lens, nm in groups:
-        results.append(
-            map_batch_flat_multi(codes, lens, index, ref_lens, p,
-                                 p.max_minimizers, Gd)
-        )
-    # block + pull a tiny slice of the LAST result: programs execute in order
-    # on the single device stream, so the last completing implies all did
-    # (block_until_ready alone does not await remote execution of small
-    # results on this backend)
-    jax.block_until_ready(results)
-    np.asarray(results[-1][0, :2])
-    map_s = time.time() - t0
+    # best of 3 timed passes: the relay adds phase-dependent latency spikes
+    # (a single d2h pull can cost 0.03..0.3 s), so one unlucky pull must not
+    # define the headline. Each pass chains ALL group dispatches and ends with
+    # ONE tiny pull of the last result — programs execute in order on the
+    # single device stream, so the last completing implies all did
+    # (block_until_ready alone does not await remote execution here).
+    map_s = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        results = []
+        for codes, lens, nm in groups:
+            results.append(
+                map_batch_flat_multi(codes, lens, index, ref_lens, p, CAP, Gd)
+            )
+        jax.block_until_ready(results)
+        np.asarray(results[-1][0, :2])
+        map_s = min(map_s, time.time() - t0)
     reads_per_s = n_reads / map_s
 
-    # accuracy sanity on the same run
+    # accuracy sanity on the same run; count seed-cap-clipped reads so the
+    # headline's fixed cap is honest (the streaming Mapper re-maps clipped
+    # reads exactly; here they are counted and must stay ~0)
     paf = []
+    n_clipped = 0
     for (codes, lens, nm), res in zip(groups, results):
         flat_h = np.asarray(res)
         lens_h = np.asarray(lens)
         for g in range(Gd):
             mr = unflatten_map_result(flat_h[g])
+            n_clipped += int(np.asarray(mr.overflow)[: len(nm[g])].sum())
             paf.extend(format_paf(nm[g], [int(x) for x in lens_h[g]], mr, meta))
     ev = evaluate_paf(paf, n_reads=n_reads)
 
@@ -203,6 +215,7 @@ def main():
                     "index_mb_per_s_steady_host": round(genome_mb / index_steady_s, 1),
                     "index_mb_per_s_steady_device": dev_mb_per_s,
                     "index_kminmers": int(index.n),
+                    "clipped_reads": n_clipped,
                     "mapped_frac": round(ev.n_mapped / max(1, n_reads), 4),
                     "wrong": ev.n_wrong,
                     "q60": ev.q60_total,

@@ -124,7 +124,10 @@ def _extract_contig_once(
     # with default params L == p.max_read_len, so this is the same program shape
     # as read mapping (one compile serves both)
     L = 1 << int(np.ceil(np.log2(max(64, max(se - cs for cs, _, se in wins)))))
-    L = max(L, min(p.max_read_len, 1 << 20))
+    # share the compiled seeding program with the 32 kb FAST read bin (not
+    # max_read_len: the 64 kb long-read ceiling would double window width and
+    # leave the Pallas gate, which caps at 2^15 lanes)
+    L = max(L, min(p.max_read_len, 1 << 15))
     # small genomes (tests, bacteria) round B down to the window count's power of
     # two instead of padding to 256 rows of dead work
     batch_windows = min(batch_windows, 1 << int(np.ceil(np.log2(len(wins)))))

@@ -250,7 +250,9 @@ def build_index_device(
         for cs, _, se in wins:
             need = 1 << int(np.ceil(np.log2(max(64, se - cs))))
             L = max(L, need)
-    L = max(L, min(p.max_read_len, 1 << 20))
+    # share the compiled seeding program with the 32 kb FAST read bin (not
+    # max_read_len — see index/build.py)
+    L = max(L, min(p.max_read_len, 1 << 15))
     meta = RefMeta(names=names, lengths=np.asarray(lengths, dtype=np.int64))
     if L > (1 << 20):
         return None

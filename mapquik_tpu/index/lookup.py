@@ -87,6 +87,61 @@ def from_host_arrays(
     )
 
 
+def probe_sortjoin(index: RefIndex, qh1: jax.Array, qh2: jax.Array) -> ProbeResult:
+    """Merge-join probe: sort (table keys + query keys) together, carry the
+    last table element forward, gather its payload, sort back to query order.
+
+    VERDICT r2 Next #6 experiment: replaces the per-read latency-bound gathers
+    of the hash probe with three 1D sorts of (n_table + n_query) elements —
+    1D sorts run at radix/stream speed on this device (40M in ~0.11 s), so
+    this can win when the table is small relative to the gather count.
+    Exactness: identical hit/payload semantics to probe() (pure lookup).
+    Scales with table size, so callers choose it only for small tables."""
+    nt = index.n
+    shape = qh1.shape
+    if nt == 0:
+        z = jnp.zeros(shape, jnp.int32)
+        return ProbeResult(jnp.zeros(shape, bool), z, z, z, z, jnp.zeros(shape, bool))
+    q1 = qh1.reshape(-1)
+    q2 = qh2.reshape(-1)
+    nq = q1.shape[0]
+    h1c = jnp.concatenate([index.h1, q1])
+    h2c = jnp.concatenate([index.h2, q2])
+    ident = jnp.arange(nt + nq, dtype=jnp.int32)  # 0..nt-1 table, nt.. queries
+    # lexicographic (h1, h2) via two STABLE single-key passes; table elements
+    # sort BEFORE equal-key queries (stable + table-first concat)
+    h2s, h1s, ids = jax.lax.sort([h2c, h1c, ident], num_keys=1, is_stable=True)
+    h1s, h2s, ids = jax.lax.sort([h1s, h2s, ids], num_keys=1, is_stable=True)
+    # carry the most recent table element forward: table ids ascend with key
+    # order, so a plain cummax is the segment carry
+    cand = jax.lax.cummax(jnp.where(ids < nt, ids, -1), axis=0)
+    candc = jnp.clip(cand, 0, nt - 1)
+    hit_s = (cand >= 0) & (index.h1[candc] == h1s) & (index.h2[candc] == h2s)
+    # payload gather at the candidate (table-sized 1D gathers, stream speed)
+    pay_s = jnp.stack(
+        [
+            index.rid[candc], index.start[candc], index.end[candc],
+            index.offset[candc], index.rc[candc].astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+    pay_s = jnp.where(hit_s[:, None], pay_s, 0)
+    # back to query order: one stable sort by id; first nt rows are the table
+    ids2, hit_q, p0, p1, p2, p3, p4 = jax.lax.sort(
+        [ids, hit_s.astype(jnp.int32)] + [pay_s[:, i] for i in range(5)],
+        num_keys=1, is_stable=True,
+    )
+    sl = slice(nt, nt + nq)
+    return ProbeResult(
+        hit=(hit_q[sl] > 0).reshape(shape),
+        rid=p0[sl].reshape(shape),
+        start=p1[sl].reshape(shape),
+        end=p2[sl].reshape(shape),
+        offset=p3[sl].reshape(shape),
+        rc=(p4[sl] > 0).reshape(shape),
+    )
+
+
 def probe(index: RefIndex, qh1: jax.Array, qh2: jax.Array) -> ProbeResult:
     """Vectorized binary search for pair keys. Any input shape; exact membership.
 

@@ -30,12 +30,24 @@ class Params:
                                  # (src/match.rs:39-43) by default; True = "fixed" semantics
 
     # --- capacity / batching knobs (TPU-only; no semantic effect unless clipped) ---
-    max_read_len: int = 1 << 15      # default padded read length bin ceiling
-    length_bins: tuple = ()          # optional extra padded-length bins below
-                                     # max_read_len (e.g. (8192, 16384)): short reads
-                                     # route to the smallest fitting bin and cost
-                                     # proportionally less device work
-    max_minimizers: int = 1 << 9     # per-sequence minimizer cap (d*L ~ 330 for 32kb)
+    max_read_len: int = 1 << 16      # padded length ceiling; reads beyond it are
+                                     # truncated WITH a warning. 64 kb covers real
+                                     # HiFi tails (~50 kb); the reference has no cap
+                                     # (src/mers.rs:41-54), so truncation is the
+                                     # exception, not the default behavior.
+    length_bins: tuple = (24576, 1 << 15)
+                                     # padded-length bins below max_read_len: reads
+                                     # route to the smallest fitting bin. 24 kb
+                                     # covers the HiFi mean at the honest per-bin
+                                     # seed cap for the SAME cost as the round-2
+                                     # 32k/512 config (12.8 vs 12.7 ms/batch,
+                                     # scripts/r3_probe4.py); <=32 kb bins are the
+                                     # Pallas fast path; longer reads take the XLA
+                                     # path at 64 kb instead of being truncated.
+    max_minimizers: int = 1 << 11    # CEILING on per-sequence minimizer capacity;
+                                     # per-bin caps derive from _seed_cap (the true
+                                     # selection rate is ~2*density per HPC position
+                                     # — see _seed_cap — so a 32 kb read needs ~896)
     batch_size: int = 256            # reads per device batch
     dispatch_group: int = 4          # sub-batches unrolled per compiled program:
                                      # amortizes the ~3-6 ms per-program dispatch
@@ -53,7 +65,11 @@ class Params:
                                      # __post_init__, derived in Params.auto, and
                                      # runtime-checked (SeedBatch.tail_start drop
                                      # detection in index/build.py retries with 2x halo)
-    ref_window_minimizers: int = 1 << 9  # minimizer cap per reference window
+    ref_window_minimizers: int = 1 << 10  # minimizer cap per reference window
+                                     # (full 32 kb windows select ~485 mean at
+                                     # d=0.01 — 512 sat at +1.3 sigma and fired
+                                     # the doubled-cap retry/recompile on real
+                                     # builds; 1024 is +25 sigma)
 
     def __post_init__(self):
         if self.k < 2:
@@ -66,9 +82,16 @@ class Params:
             raise ValueError("max_minimizers must be >= k")
         if self.max_read_len % 8:
             raise ValueError("max_read_len must be a multiple of 8 (2-bit packing)")
+        # bins >= the ceiling are redundant (the ceiling IS the last bin):
+        # drop them so a small explicit max_read_len composes with the default
+        # 32 kb fast-path bin
+        if any(b >= self.max_read_len for b in self.length_bins):
+            object.__setattr__(
+                self,
+                "length_bins",
+                tuple(b for b in self.length_bins if b < self.max_read_len),
+            )
         for b in self.length_bins:
-            if b >= self.max_read_len:
-                raise ValueError("length_bins must be < max_read_len")
             if b > 512 and b % 512:
                 raise ValueError("length bins must be multiples of 512 (scan blocking)")
             if b % 8:
@@ -126,10 +149,12 @@ class Params:
         if "ref_halo" not in kw:
             kw["ref_halo"] = probe.safe_ref_halo
         if "ref_window" not in kw:
-            # keep (core + halo) == max_read_len when possible so index build and
-            # read mapping share one compiled seeding program; at very low density
-            # the halo outgrows that and the window must widen with it
-            kw["ref_window"] = max(probe.max_read_len - kw["ref_halo"], kw["ref_halo"])
+            # keep (core + halo) == the FAST length bin (<= 32 kb Pallas path)
+            # so index build and read mapping share one compiled seeding
+            # program; at very low density the halo outgrows that and the
+            # window must widen with it
+            fast_bin = min(probe.max_read_len, 1 << 15)
+            kw["ref_window"] = max(fast_bin - kw["ref_halo"], kw["ref_halo"])
         probe2 = cls(**kw)
         if "max_minimizers" not in kw:
             kw["max_minimizers"] = _seed_cap(probe2.max_read_len, probe2.density, probe2.k)
@@ -147,14 +172,23 @@ class Params:
 
 
 def _seed_cap(length: int, density: float, k: int) -> int:
-    """Minimizer capacity covering mean + 6σ of Binomial(length, density),
-    rounded up to a multiple of 128 (the TPU lane tile). Power-of-two rounding
-    produced a 2x throughput CLIFF in density sweeps (d=0.0125 doubled map_s
-    when the cap crossed a power of two, VERDICT r2 Weak #5); 128-steps keep
-    map time within ~1.15x of the no-slack cost at any density."""
+    """Minimizer capacity covering mean + 6σ of the selected count, rounded up
+    to a multiple of 128 (the TPU lane tile).
+
+    The selection RATE per HPC position is ~2*density, not density: the
+    predicate tests the CANONICAL hash (min of the forward and reverse-strand
+    hashes), and P(min of two u32 hashes < t) ~ 2t/2^32 (measured 0.0148 per
+    raw base at d=0.01 incl. the ~0.75 HPC fraction). Round 2 sized caps at
+    d*L, so FULL-length reads overflowed ~10% of the time and silently took
+    the slow retry path. No HPC discount here: worst-case composition
+    compresses nothing, and use_hpc=False is a supported config.
+
+    Power-of-two rounding produced a 2x throughput CLIFF in density sweeps
+    (VERDICT r2 Weak #5); 128-steps keep map time within ~1.15x of the
+    no-slack cost at any density."""
     import math
 
-    m = density * length
+    m = min(2.0 * density, 1.0) * length
     need = m + 6.0 * math.sqrt(max(m, 1.0)) + 16 + k
     return max(128, 128 * math.ceil(need / 128.0))
 

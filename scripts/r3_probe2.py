@@ -14,7 +14,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 T0 = time.time()
-CACHE = "/tmp/r3_probe_index.mqi"
+CACHE = "/tmp/r3_probe_index.npz"
 
 
 def log(m):

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--seed", type=int, default=77)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default="experiments/repeat_stress.csv")
+    ap.add_argument("--preset", choices=["default", "maize"], default="default",
+                    help="maize: ~25-30%% planted-repeat fraction (the "
+                         "reference's maize-30X-scale stress, "
+                         "simulate_maize.sh), for >=100MB genomes")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -42,14 +46,28 @@ def main():
 
     n = int(args.genome_mb * 1_000_000)
     t0 = time.time()
-    genome, regions = repeat_genome(
-        n, seed=args.seed, n_contigs=max(2, n // 8_000_000),
-        tandem_arrays=max(4, n // 1_000_000),
-        tandem_copies=(30, 150), tandem_identity=(0.999, 1.0),
-        segdups=max(3, n // 2_000_000), segdup_len=10_000,
-        segdup_copies=(2, 6), segdup_identity=(0.97, 1.0),
-        microsats=max(6, n // 1_000_000), microsat_span=(500, 4000),
-    )
+    if args.preset == "maize":
+        # maize-like repeat load: ~25-30% of the genome is tandem arrays /
+        # dispersed duplications / microsatellites (the reference's hardest
+        # published stress is maize 30X, ~85% repetitive overall with the
+        # mappable stress concentrated in young high-identity families)
+        genome, regions = repeat_genome(
+            n, seed=args.seed, n_contigs=max(2, n // 25_000_000),
+            tandem_arrays=max(8, n // 2_000_000),
+            tandem_copies=(200, 1500), tandem_identity=(0.999, 1.0),
+            segdups=max(8, n // 500_000), segdup_len=15_000,
+            segdup_copies=(2, 8), segdup_identity=(0.97, 1.0),
+            microsats=max(8, n // 500_000), microsat_span=(1000, 8000),
+        )
+    else:
+        genome, regions = repeat_genome(
+            n, seed=args.seed, n_contigs=max(2, n // 8_000_000),
+            tandem_arrays=max(4, n // 1_000_000),
+            tandem_copies=(30, 150), tandem_identity=(0.999, 1.0),
+            segdups=max(3, n // 2_000_000), segdup_len=10_000,
+            segdup_copies=(2, 6), segdup_identity=(0.97, 1.0),
+            microsats=max(6, n // 1_000_000), microsat_span=(500, 4000),
+        )
     reads = simulate_depth(genome, args.depth, mean_len=18_000, accuracy=0.99,
                            seed=args.seed + 1)
     rep_bases = sum(e - s for _, s, e, _ in regions)
