@@ -133,6 +133,7 @@ def _extract_contig_once(
     batch_windows = min(batch_windows, 1 << int(np.ceil(np.log2(len(wins)))))
     cap = p.ref_window_minimizers
     parts = []
+    prog = [None]  # AOT-cached extraction program (first batch resolves it)
 
     def make_batch(i):
         chunk = wins[i : i + batch_windows]
@@ -143,7 +144,15 @@ def _extract_contig_once(
             lens[bi] = se - cs
         packed = jnp.asarray(seeding.pack4_host(arr))
         lens_d = jnp.asarray(lens)
-        flat_d = seeding.seed_batch_packed_flat(packed, lens_d, p, cap, L)
+        if prog[0] is None:
+            from ..utils.aot import cached_program
+
+            prog[0] = cached_program(
+                f"seed_extract_c{cap}_L{L}",
+                seeding._seed_flat_program_fn(p, cap, L),
+                (packed, lens_d), statics_key=(repr(p), cap, L),
+            )
+        flat_d = prog[0](packed, lens_d)
         return chunk, packed, lens_d, flat_d
 
     n_contig = codes.shape[0]

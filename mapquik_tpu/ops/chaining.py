@@ -27,7 +27,7 @@ import numpy as np
 
 from ..params import Params
 from .matching import MatchBatch
-from .seeding import _compact_positions, take_rows
+from .seeding import _compact_positions, rowsort, take_rows
 
 _BIG_I32 = np.int32(0x7FFFFFFF)
 
@@ -101,7 +101,7 @@ def chain_and_select(mb: MatchBatch, p: Params) -> tuple:
     # for a comparator network (measured on the 1D dedup sorts)
     ops = [mb.bucket, idx, mb.count, mb.q_start, mb.q_end, mb.r_start, mb.r_end,
            mb.rc.astype(jnp.int32)]
-    s = jax.lax.sort(ops, num_keys=1, dimension=1, is_stable=True)
+    s = rowsort(ops, is_stable=True)
     bucket, _, count, q_s, q_e, r_s, r_e, rc_i = s
     rc = rc_i.astype(bool)
     valid = bucket != _BIG_I32

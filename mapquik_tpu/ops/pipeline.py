@@ -180,6 +180,29 @@ def map_batch_flat_multi(
     return jnp.stack(outs)
 
 
+@functools.lru_cache(maxsize=None)
+def _group_program_fn(p: Params, cap: int, L: int, G: int):
+    """Statics-closed jit of map_batch_packed2_multi, AOT-cacheable (utils.aot
+    needs a signature with array args only)."""
+
+    @jax.jit
+    def fn(p2, mask, lengths, index, ref_lens):
+        return map_batch_packed2_multi(
+            p2, mask, lengths, index, ref_lens, p, cap, L, G
+        )
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _single_program_fn(p: Params, cap: int, L: int):
+    @jax.jit
+    def fn(p2, mask, lengths, index, ref_lens):
+        return map_batch_packed2(p2, mask, lengths, index, ref_lens, p, cap, L)
+
+    return fn
+
+
 def unflatten_map_result(flat: np.ndarray) -> MapResult:
     """Host-side inverse of map_batch_packed's flat layout."""
     return MapResult(
@@ -247,6 +270,21 @@ class Mapper:
     @property
     def n_unique(self) -> int:
         return self.index.n
+
+    def _program(self, kind: str, fn, args):
+        """Per-Mapper AOT program handle: first use per (kind, shapes) either
+        deserializes a cached compiled executable (~1 s) or compiles and
+        stores one — the relay's first-compile costs 10-300 s per program, and
+        the reference pays zero compile latency (utils/aot.py)."""
+        if not hasattr(self, "_progs"):
+            self._progs = {}
+        prog = self._progs.get(kind)
+        if prog is None:
+            from ..utils.aot import cached_program
+
+            prog = cached_program(kind, fn, args, statics_key=(repr(self.p), kind))
+            self._progs[kind] = prog
+        return prog
 
     def map_reads(
         self,
@@ -382,9 +420,12 @@ class Mapper:
             p2_d, mask_d = jnp.asarray(p2), jnp.asarray(mask)
             lens_all = np.stack([s[3] for s in staged])
             lens_d = jnp.asarray(lens_all)
-            flat = map_batch_packed2_multi(
-                p2_d, mask_d, lens_d, self.index, self.ref_lens, p, cap, L, G
+            prog = self._program(
+                f"map_group_c{cap}_L{L}_G{G}",
+                _group_program_fn(p, cap, L, G),
+                (p2_d, mask_d, lens_d, self.index, self.ref_lens),
             )
+            flat = prog(p2_d, mask_d, lens_d, self.index, self.ref_lens)
             items = []
             for g, (nm, ln, rows_g, lens_host) in enumerate(staged):
                 loci = _stats_loci(p2_d[g], mask_d[g], lens_d[g], cap, L)
@@ -399,9 +440,12 @@ class Mapper:
             for g, (nm, ln, rows_g, lens_host) in enumerate(staged):
                 p2_d, mask_d = jnp.asarray(p2[g]), jnp.asarray(mask[g])
                 lens_d = jnp.asarray(lens_host)
-                flat = map_batch_packed2(
-                    p2_d, mask_d, lens_d, self.index, self.ref_lens, p, cap, L
+                prog = self._program(
+                    f"map_single_c{cap}_L{L}",
+                    _single_program_fn(p, cap, L),
+                    (p2_d, mask_d, lens_d, self.index, self.ref_lens),
                 )
+                flat = prog(p2_d, mask_d, lens_d, self.index, self.ref_lens)
                 loci = _stats_loci(p2_d, mask_d, lens_d, cap, L)
                 items.append((nm, ln, flat, loci, rows_g, lens_host, cap, L))
             return items

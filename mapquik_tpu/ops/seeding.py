@@ -186,7 +186,7 @@ def hpc_compact(codes: jax.Array, lengths: jax.Array):
     # unique per row so the order equals position order (multi-operand sorts cost
     # proportionally more HBM traffic at this width)
     key = jnp.where(keep, (pos << 3) | codes.astype(jnp.int32), _BIG_I32)
-    skey = jax.lax.sort(key, dimension=1)
+    skey = rowsort(key)
     valid = skey != _BIG_I32
     hcodes = jnp.where(valid, skey & 7, np.int32(INVALID)).astype(jnp.uint8)
     run_start = jnp.where(valid, skey >> 3, lengths[:, None].astype(jnp.int32))
@@ -245,6 +245,34 @@ def take_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
     return out.reshape((B, idx.shape[1]) + x.shape[2:])
 
 
+_SORT_CHUNK = 256
+
+
+def rowsort(operands, num_keys: int = 1, is_stable: bool = False):
+    """lax.sort along axis 1, executed in <= _SORT_CHUNK-row chunks.
+
+    Row sorts at [512+, M] are superlinear-worse on this backend (measured
+    rounds 1-3: a flat [1024, M] group batch lost ~0.8 ms/batch to its sorts
+    while its gathers got cheaper), so group-flattened [G*B, M] stages sort
+    per 256-row chunk — identical results (rows sort independently), fast-path
+    shapes. Single operand in -> single array out; list in -> list out."""
+    single = not isinstance(operands, (list, tuple))
+    ops = [operands] if single else list(operands)
+    B = ops[0].shape[0]
+    if B <= _SORT_CHUNK:
+        out = jax.lax.sort(ops, dimension=1, num_keys=num_keys, is_stable=is_stable)
+    else:
+        chunks = [
+            jax.lax.sort(
+                [o[i : i + _SORT_CHUNK] for o in ops],
+                dimension=1, num_keys=num_keys, is_stable=is_stable,
+            )
+            for i in range(0, B, _SORT_CHUNK)
+        ]
+        out = [jnp.concatenate(parts, axis=0) for parts in zip(*chunks)]
+    return out[0] if single else out
+
+
 def _compact_positions(sel: jax.Array, cap: int):
     """Positions of True entries of sel [B, L], compacted to [B, cap] (ascending);
     invalid slots hold 0. Returns (positions i32 [B, cap], count i32 [B]).
@@ -253,7 +281,7 @@ def _compact_positions(sel: jax.Array, cap: int):
     B, L = sel.shape
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     key = jnp.where(sel, pos, _BIG_I32)
-    skey = jax.lax.sort(key, dimension=1)[:, : min(cap, L)]
+    skey = rowsort(key)[:, : min(cap, L)]
     n = jnp.sum(sel.astype(jnp.int32), axis=1)
     out = jnp.where(skey != _BIG_I32, skey, 0)
     if cap > L:
@@ -300,7 +328,7 @@ def _minimizers_compact_pallas(codes, lengths, p: Params, cap: int):
     )
     # pse is both the packed coords and the position sort key (pos<<16 is the
     # high half; empty/marker fills sort last)
-    ps, ch = jax.lax.sort([pse, canon], dimension=1, num_keys=1)
+    ps, ch = rowsort([pse, canon])
     nbK = ps.shape[1]
     take = min(cap, nbK)
     psc, chc = ps[:, :take], ch[:, :take]
@@ -345,7 +373,7 @@ def minimizers_batch(
     if use_pallas and pallas_available(B, L, p.l):
         # fused Pallas path (TPU): canon + density-selected sort key in one pass
         canon, selkey = nthash_sel_pallas(hcodes, p.l, p.hash_threshold)
-        skey = jax.lax.sort(selkey, dimension=1)[:, : min(cap, L)]
+        skey = rowsort(selkey)[:, : min(cap, L)]
         mpos = jnp.where(skey != _BIG_I32, skey, 0)
         if cap > L:
             mpos = jnp.pad(mpos, ((0, 0), (0, cap - L)))
@@ -408,6 +436,19 @@ def seed_batch_packed_flat(
         axis=1,
     )
     return flat
+
+
+@functools.lru_cache(maxsize=None)
+def _seed_flat_program_fn(p: Params, cap: int, L: int, use_pallas: bool = True):
+    """Statics-closed jit of seed_batch_packed_flat for the AOT executable
+    cache (utils/aot.py): the index builder's extraction program is one of the
+    two programs every cold CLI run waits 10-300 s on."""
+
+    @jax.jit
+    def fn(packed, lengths):
+        return seed_batch_packed_flat(packed, lengths, p, cap, L, use_pallas)
+
+    return fn
 
 
 def unflatten_seed_batch(flat: np.ndarray, cap: int):

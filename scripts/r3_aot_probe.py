@@ -1,13 +1,15 @@
-"""Round-3 probe: can jax.export / AOT serialization cut the relay's cold-start
+"""Round-3 probe: can serialized PJRT executables cut the relay's cold-start
 compile cost (10-300 s per program)?
 
-Phase 1 (export): trace + compile map_batch_flat_multi, serialize with
-jax.export, write to /tmp/mq_aot.bin, time it.
-Phase 2 (import, run with --load): fresh process deserializes and calls it —
-if the deserialized call avoids the relay compile, start-to-first-batch drops.
+jax.export is NOT enough — it serializes StableHLO, so a fresh process still
+pays the backend compile. jax.experimental.serialize_executable pickles the
+COMPILED executable; if this tunneled PJRT supports DeserializeExecutable,
+a fresh process skips the relay compile entirely. (The jax persistent
+compilation cache is documented to HANG reading executables back on this
+backend — this probes the same underlying path, so run it under a timeout.)
 
-  python scripts/r3_aot_probe.py          # export phase
-  python scripts/r3_aot_probe.py --load   # import phase (fresh process)
+  python scripts/r3_aot_probe.py          # compile + serialize + self-check
+  python scripts/r3_aot_probe.py --load   # fresh process: deserialize + run
 """
 
 import os
@@ -31,11 +33,12 @@ def main():
     load = "--load" in sys.argv
     import jax
     import jax.numpy as jnp
-    from jax import export as jexport
+    from jax.experimental import serialize_executable as se
 
     from mapquik_tpu.params import Params
     from mapquik_tpu.eval.simulate import markov_genome, simulate_reads
     from mapquik_tpu.index.build import build_index
+    from mapquik_tpu.index.hashtable import HashIndex
     from mapquik_tpu.index.serialize import save_index, load_index, params_key
     from mapquik_tpu.ops.pipeline import map_batch_flat_multi
     from mapquik_tpu.oracle.pyref import encode
@@ -64,42 +67,49 @@ def main():
             lens[g, j] = len(c)
     codes_d, lens_d = jnp.asarray(codes), jnp.asarray(lens)
 
+    def fn(c, n, slots, rl):
+        return map_batch_flat_multi(c, n, HashIndex(slots=slots), rl, p, 512, G)
+
+    jfn = jax.jit(fn)
+
     if not load:
         t0 = time.time()
-        fn = lambda c, n, idx, rl: map_batch_flat_multi(
-            c, n, idx, rl, p, 512, G
-        )
-        exp = jexport.export(jax.jit(fn))(codes_d, lens_d, index, ref_lens)
-        log(f"traced+lowered in {time.time()-t0:.1f}s")
+        lowered = jfn.lower(codes_d, lens_d, index.slots, ref_lens)
+        log(f"lowered in {time.time()-t0:.1f}s")
         t0 = time.time()
-        blob = exp.serialize()
+        compiled = lowered.compile()
+        log(f"compiled in {time.time()-t0:.1f}s")
+        t0 = time.time()
+        payload, in_tree, out_tree = se.serialize(compiled)
         with open(PATH, "wb") as f:
-            f.write(blob)
-        log(f"serialized {len(blob)/1e6:.1f} MB in {time.time()-t0:.1f}s")
+            import pickle
+
+            pickle.dump((payload, in_tree, out_tree), f)
+        log(f"serialized executable {os.path.getsize(PATH)/1e6:.1f} MB "
+            f"in {time.time()-t0:.1f}s")
         t0 = time.time()
-        out = exp.call(codes_d, lens_d, index, ref_lens)
+        out = compiled(codes_d, lens_d, index.slots, ref_lens)
         np.asarray(out[0, :2])
-        log(f"exported call ran in {time.time()-t0:.1f}s (includes compile)")
-        t0 = time.time()
-        out = exp.call(codes_d, lens_d, index, ref_lens)
-        np.asarray(out[0, :2])
-        log(f"second exported call {time.time()-t0:.2f}s")
+        log(f"compiled call ran in {time.time()-t0:.2f}s")
     else:
+        import pickle
+
         t0 = time.time()
         with open(PATH, "rb") as f:
-            exp = jexport.deserialize(f.read())
-        log(f"deserialized in {time.time()-t0:.1f}s")
+            payload, in_tree, out_tree = pickle.load(f)
+        compiled = se.deserialize_and_load(payload, in_tree, out_tree)
+        log(f"deserialized+loaded executable in {time.time()-t0:.1f}s")
         t0 = time.time()
-        out = exp.call(codes_d, lens_d, index, ref_lens)
+        out = compiled(codes_d, lens_d, index.slots, ref_lens)
         np.asarray(out[0, :2])
-        log(f"first call (fresh process) in {time.time()-t0:.1f}s")
+        log(f"first call (fresh process, NO relay compile?) in {time.time()-t0:.2f}s")
         t0 = time.time()
-        out = exp.call(codes_d, lens_d, index, ref_lens)
+        out = compiled(codes_d, lens_d, index.slots, ref_lens)
         np.asarray(out[0, :2])
         log(f"second call {time.time()-t0:.2f}s")
-        # compare against a fresh jit compile in this same process
+        # compare: fresh jit in this process
         t0 = time.time()
-        r = map_batch_flat_multi(codes_d, lens_d, index, ref_lens, p, 512, G)
+        r = jfn(codes_d, lens_d, index.slots, ref_lens)
         np.asarray(r[0, :2])
         log(f"fresh jit compile+run for comparison: {time.time()-t0:.1f}s")
 
