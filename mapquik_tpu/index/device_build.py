@@ -55,7 +55,7 @@ def _make_batch_extract(p: Params, cap: int, L: int):
 
     @jax.jit
     def run(p2, mask, lens, cs, ce, se, n_contig, base, rid):
-        sb = seeding.seed_batch(seeding.unpack2(p2, mask, L), lens, p, cap)
+        sb = seeding.seed_batch(seeding.unpack2(p2, mask, L, lens), lens, p, cap)
         slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
         st_abs = sb.start + cs[:, None]
         owned = (slot < sb.n[:, None]) & (st_abs < ce[:, None])
@@ -278,6 +278,7 @@ def build_index_device(
     ]
     _ri = 0
     arr = None
+    zmask = None
     for rid, (codes, wins) in enumerate(encoded):
         if not wins:
             continue
@@ -302,8 +303,8 @@ def build_index_device(
             p2_buf, mask_buf = _ring[_ri % len(_ring)]
             _ri += 1
             if use_native_pack:
-                ok = _native.pack2_rows(rows, lens, L, p2_buf, mask_buf)
-                assert ok
+                has_n = _native.pack2_rows(rows, lens, L, p2_buf, mask_buf)
+                assert has_n is not None
             else:
                 if arr is None:
                     arr = np.full((batch_windows, L), 4, dtype=np.uint8)
@@ -311,10 +312,19 @@ def build_index_device(
                 for bi, r in enumerate(rows):
                     if r is not None:
                         arr[bi, : r.shape[0]] = r
-                p2n, maskn = seeding.pack2_host(arr)
+                p2n, maskn = seeding.pack2_host(arr, lens)
                 p2_buf[:], mask_buf[:] = p2n, maskn
+                has_n = int(maskn.any())
+            # N-free windows (the usual case) skip the mask upload: 1/3 of
+            # the build's upload bytes on an upload-bound path
+            if has_n:
+                mask_d = jnp.asarray(mask_buf)
+            else:
+                if zmask is None:
+                    zmask = jnp.zeros((batch_windows, L // 8), jnp.uint8)
+                mask_d = zmask
             out = run(
-                jnp.asarray(p2_buf), jnp.asarray(mask_buf), jnp.asarray(lens),
+                jnp.asarray(p2_buf), mask_d, jnp.asarray(lens),
                 jnp.asarray(csa), jnp.asarray(cea), jnp.asarray(sea),
                 n_contig, base, np.int32(rid),
             )

@@ -42,9 +42,14 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _lib_tried = True
     try:
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_NATIVE_DIR, "fastx.cpp")
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        ):
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-s"], check=True, capture_output=True
+                ["make", "-C", _NATIVE_DIR, "-s", "-B"], check=True,
+                capture_output=True,
             )
         lib = ctypes.CDLL(_LIB_PATH)
         lib.fx_parse.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(_FxResult)]
@@ -106,17 +111,19 @@ def pack2_rows(
     L: int,
     out_p2: np.ndarray,
     out_mask: np.ndarray,
-) -> bool:
+) -> Optional[int]:
     """Fused batch assembly + 2-bit pack (native; see fastx.cpp mq_pack2_batch).
 
     rows: per-read contiguous uint8 code arrays (None = empty row); lens int32
-    [B]; writes p2 into out_p2 [B, L//4] and the non-ACGT mask into out_mask
-    [B, L//8] — bit-identical to ops/seeding.pack2_host over a 4-padded [B, L]
-    buffer. Returns False when the native library is unavailable (caller uses
-    the numpy path)."""
+    [B]; writes p2 into out_p2 [B, L//4] and the in-read non-ACGT mask into
+    out_mask [B, L//8] — bit-identical to ops/seeding.pack2_host(codes, lens)
+    over a 4-padded [B, L] buffer (padding is NOT masked; unpack2 reconstructs
+    it from the lengths). Returns None when the native library is unavailable
+    (caller uses the numpy path), else 1 if any mask bit is set, 0 otherwise —
+    callers skip the mask upload entirely when 0."""
     lib = _load()
     if lib is None:
-        return False
+        return None
     B = len(rows)
     addrs = np.zeros(B, dtype=np.uint64)
     for i, r in enumerate(rows):
@@ -131,7 +138,7 @@ def pack2_rows(
         out_p2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
-    return rc == 0
+    return None if rc < 0 else rc
 
 
 def iter_records(path: str, n_threads: int = 0) -> Optional[Iterator[Tuple[str, np.ndarray]]]:

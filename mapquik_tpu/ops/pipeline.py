@@ -116,13 +116,14 @@ def map_batch_packed2(
     L: int,
     use_pallas: bool = True,
 ) -> jax.Array:
-    """The streaming driver's entry: 2-bit + bitmask upload (2.25 bits/base —
-    the h2d tunnel moves fresh buffers at ~53 MB/s, so upload bytes bound
-    streamed throughput) with a flat [B, 10] result."""
+    """The streaming driver's entry: 2-bit + bitmask upload (<=2.25 bits/base —
+    the h2d tunnel bounds streamed throughput; the mask upload is skipped for
+    N-free batches, see pack2_host) with a flat [B, 10] result."""
     from .seeding import unpack2
 
     res = map_batch(
-        unpack2(p2, mask, L), lengths, index, ref_lens, p, cap, use_pallas
+        unpack2(p2, mask, L, lengths), lengths, index, ref_lens, p, cap,
+        use_pallas,
     )
     return _flatten_map_result(res)
 
@@ -154,8 +155,8 @@ def map_batch_packed2_multi(
     outs = []
     for g in range(G):
         res = map_batch(
-            unpack2(p2[g], mask[g], L), lengths[g], index, ref_lens, p, cap,
-            use_pallas,
+            unpack2(p2[g], mask[g], L, lengths[g]), lengths[g], index,
+            ref_lens, p, cap, use_pallas,
         )
         outs.append(_flatten_map_result(res))
     return jnp.stack(outs)
@@ -358,6 +359,7 @@ class Mapper:
                 self.lens: List[int] = []
                 self.rows: List[np.ndarray] = []
                 self.staged: List[tuple] = []  # (names, lens, rows, lens_host)
+                self.any_n = False  # any masked base among currently staged
                 self._ring = rings.setdefault((B, Lb), [self._alloc()])
                 self._ri = 0
                 self.buf = self._ring[0]
@@ -389,17 +391,19 @@ class Mapper:
             lens_host[: len(bn.lens)] = bn.lens
             p2, mask = bn.buf
             if use_native_pack:
-                ok = _native.pack2_rows(
+                has_n = _native.pack2_rows(
                     bn.rows + [None] * (B - len(bn.rows)), lens_host, bn.L,
                     p2[g], mask[g],
                 )
-                assert ok
+                assert has_n is not None
+                bn.any_n |= bool(has_n)
             else:
                 codes_host = np.full((B, bn.L), 4, dtype=np.uint8)
                 for i, r in enumerate(bn.rows):
                     codes_host[i, : r.shape[0]] = r
-                p2n, maskn = pack2_host(codes_host)
+                p2n, maskn = pack2_host(codes_host, lens_host)
                 p2[g][:], mask[g][:] = p2n, maskn
+                bn.any_n |= bool(maskn.any())
             bn.staged.append((bn.names, bn.lens, bn.rows, lens_host))
             bn.names, bn.lens, bn.rows = [], [], []
 
@@ -410,14 +414,27 @@ class Mapper:
             from .stats import read_stats_batch
 
             return read_stats_batch(
-                unpack2(p2_d, mask_d, L), lens_d, self.index, p, cap
+                unpack2(p2_d, mask_d, L, lens_d), lens_d, self.index, p, cap
             )
 
-        def _run_group(buf, staged, cap, L):
+        def _zero_mask(shape):
+            """Device-resident all-zero mask, cached per shape: N-free batches
+            (the common case) skip the mask upload — 1/3 of the batch's bytes
+            on a tunnel where upload bandwidth bounds e2e throughput."""
+            if not hasattr(self, "_zmasks"):
+                self._zmasks = {}
+            zm = self._zmasks.get(shape)
+            if zm is None:
+                zm = jnp.zeros(shape, jnp.uint8)
+                self._zmasks[shape] = zm
+            return zm
+
+        def _run_group(buf, staged, cap, L, any_n):
             """Upload + dispatch G staged sub-batches as one program (runs on
             the dispatch worker thread)."""
             p2, mask = buf
-            p2_d, mask_d = jnp.asarray(p2), jnp.asarray(mask)
+            p2_d = jnp.asarray(p2)
+            mask_d = jnp.asarray(mask) if any_n else _zero_mask(mask.shape)
             lens_all = np.stack([s[3] for s in staged])
             lens_d = jnp.asarray(lens_all)
             prog = self._program(
@@ -432,13 +449,16 @@ class Mapper:
                 items.append((nm, ln, flat[g], loci, rows_g, lens_host, cap, L))
             return items
 
-        def _run_tail(buf, staged, cap, L):
+        def _run_tail(buf, staged, cap, L, any_n):
             """Leftover staged sub-batches (< G) through the single-batch
             program (shared with small inputs; no partial-G compile)."""
             p2, mask = buf
             items = []
             for g, (nm, ln, rows_g, lens_host) in enumerate(staged):
-                p2_d, mask_d = jnp.asarray(p2[g]), jnp.asarray(mask[g])
+                p2_d = jnp.asarray(p2[g])
+                mask_d = (
+                    jnp.asarray(mask[g]) if any_n else _zero_mask(mask[g].shape)
+                )
                 lens_d = jnp.asarray(lens_host)
                 prog = self._program(
                     f"map_single_c{cap}_L{L}",
@@ -494,8 +514,9 @@ class Mapper:
             """A full B-read sub-batch is ready: stage it; enqueue when G are."""
             _pack_subbatch(bn)
             if len(bn.staged) == G:
-                snap = (bn.buf, bn.staged, bn.cap, bn.L)
+                snap = (bn.buf, bn.staged, bn.cap, bn.L, bn.any_n)
                 bn.staged = []
+                bn.any_n = False
                 bn.next_buf()
                 jobs.put(lambda s=snap: _run_group(*s))
 
@@ -503,8 +524,9 @@ class Mapper:
             if bn.rows or bn.names:
                 _pack_subbatch(bn)
             if bn.staged:
-                snap = (bn.buf, bn.staged, bn.cap, bn.L)
+                snap = (bn.buf, bn.staged, bn.cap, bn.L, bn.any_n)
                 bn.staged = []
+                bn.any_n = False
                 bn.next_buf()
                 jobs.put(lambda s=snap: _run_tail(*s))
 

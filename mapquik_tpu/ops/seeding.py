@@ -19,7 +19,7 @@ shared formulas. Everything here is shape-static and jit/vmap/shard_map compatib
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -59,10 +59,16 @@ def unpack4(packed: jax.Array, L: int) -> jax.Array:
     return jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], L)
 
 
-def pack2_host(codes: np.ndarray):
+def pack2_host(codes: np.ndarray, lengths: Optional[np.ndarray] = None):
     """2-bit pack + non-ACGT bitmask: 2.25 bits/base total. The h2d tunnel
-    moves fresh buffers at ~53 MB/s, so upload bytes bound streaming
-    throughput; this is 3.5x smaller than raw codes. L must divide by 8.
+    bounds streaming throughput, so upload bytes matter; this is 3.5x smaller
+    than raw codes. L must divide by 8.
+
+    With `lengths` given, the mask marks ONLY in-read non-ACGT bases (padding
+    is reconstructed on-device by unpack2 from the lengths) — all-zero for
+    N-free batches, so callers can skip its upload entirely. Without lengths
+    the mask also covers padding (legacy layout, still accepted by unpack2
+    when paired with full lengths).
 
     Returns (p2 u8 [B, L//4], mask u8 [B, L//8] packbits-big-endian)."""
     if not codes.flags.c_contiguous:
@@ -74,18 +80,31 @@ def pack2_host(codes: np.ndarray):
         | ((v >> np.uint32(16)) & np.uint32(3)) << np.uint32(4)
         | ((v >> np.uint32(24)) & np.uint32(3)) << np.uint32(6)
     ).astype(np.uint8)
-    mask = np.packbits(codes >= 4, axis=1)
+    bad = codes >= 4
+    if lengths is not None:
+        bad &= np.arange(codes.shape[1])[None, :] < np.asarray(lengths)[:, None]
+    mask = np.packbits(bad, axis=1)
     return p2, mask
 
 
-def unpack2(p2: jax.Array, mask: jax.Array, L: int) -> jax.Array:
-    """Device-side inverse of pack2_host: -> [B, L] uint8 codes (0..4)."""
+def unpack2(
+    p2: jax.Array, mask: jax.Array, L: int, lengths: Optional[jax.Array] = None
+) -> jax.Array:
+    """Device-side inverse of pack2_host: -> [B, L] uint8 codes (0..4).
+
+    `lengths` marks positions >= length INVALID (padding no longer rides in
+    the mask — see pack2_host); the mask then only carries in-read N bases."""
     B = p2.shape[0]
     shifts = np.arange(4, dtype=np.uint8) * np.uint8(2)
     c = ((p2[:, :, None] >> shifts[None, None, :]) & np.uint8(3)).reshape(B, L)
     bshifts = np.arange(7, -1, -1, dtype=np.uint8)
     m = ((mask[:, :, None] >> bshifts[None, None, :]) & np.uint8(1)).reshape(B, L)
-    return jnp.where(m != 0, np.uint8(INVALID), c)
+    bad = m != 0
+    if lengths is not None:
+        bad = bad | (
+            jnp.arange(L, dtype=jnp.int32)[None, :] >= lengths[:, None]
+        )
+    return jnp.where(bad, np.uint8(INVALID), c)
 
 
 class SeedBatch(NamedTuple):

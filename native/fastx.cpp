@@ -244,16 +244,21 @@ int fx_parse(const char* path, int n_threads, FxResult* out) {
 // host leg bounded end-to-end throughput at ~0.2x of device throughput) with
 // one pass: read each record's codes (0..4) straight from the parser's
 // buffer, emit 2-bit base pairs into p2 [B, L/4] and the non-ACGT bitmask
-// into mask [B, L/8] (packbits big-endian), padding rows past their length
-// with INVALID (mask 1, p2 bits 0) — bit-identical to ops/seeding.pack2_host
-// over a 4-padded row.
+// into mask [B, L/8] (packbits big-endian). The mask marks ONLY in-read
+// non-ACGT bases; row padding past lens[b] is reconstructed on-device from
+// the lengths (ops/seeding.unpack2), so for N-free batches — the common case
+// — the mask is all-zero and its upload (1/3 of the batch's bytes) can be
+// skipped entirely (the h2d tunnel bounds streaming throughput).
 //
 // rows: array of B host addresses (uint64) of contiguous uint8 code buffers;
 // address 0 = empty row. lens: [B] int32, lens[b] <= L, L % 8 == 0.
+// Returns -1 on error, else 1 if any mask bit is set (batch contains an
+// ambiguous base), 0 otherwise.
 int mq_pack2_batch(const uint64_t* rows, const int32_t* lens, int32_t B,
                    int32_t L, uint8_t* p2, uint8_t* mask) {
     if (L % 8) return -1;
     int64_t p2w = L / 4, mw = L / 8;
+    uint8_t any_n = 0;
     for (int32_t b = 0; b < B; b++) {
         const uint8_t* row = (const uint8_t*)(uintptr_t)rows[b];
         int32_t len = row ? lens[b] : 0;
@@ -271,12 +276,13 @@ int mq_pack2_batch(const uint64_t* rows, const int32_t* lens, int32_t B,
             uint8_t m = 0;
             for (int k = 0; k < 8; k++) m |= (uint8_t)((c[k] >= 4) << (7 - k));
             mm[i >> 3] = m;
+            any_n |= m;
         }
         if (i < L) {
-            // partial group: remaining bases then INVALID padding
+            // partial group: remaining bases, then zero bits for padding
             uint8_t pb0 = 0, pb1 = 0, m = 0;
-            for (int k = 0; k < 8; k++) {
-                uint8_t c = (i + k < len) ? row[i + k] : 4;
+            for (int k = 0; k < 8 && i + k < len; k++) {
+                uint8_t c = row[i + k];
                 if (k < 4) pb0 |= (uint8_t)((c & 3) << (2 * k));
                 else pb1 |= (uint8_t)((c & 3) << (2 * (k - 4)));
                 m |= (uint8_t)((c >= 4) << (7 - k));
@@ -284,13 +290,14 @@ int mq_pack2_batch(const uint64_t* rows, const int32_t* lens, int32_t B,
             pp[i >> 2] = pb0;
             pp[(i >> 2) + 1] = pb1;
             mm[i >> 3] = m;
+            any_n |= m;
             i += 8;
-            // full-padding rest of the row
+            // rest of the row: p2 bits 0, mask bits 0 (padding comes from lens)
             std::memset(pp + (i >> 2), 0, (size_t)(p2w - (i >> 2)));
-            std::memset(mm + (i >> 3), 0xFF, (size_t)(mw - (i >> 3)));
+            std::memset(mm + (i >> 3), 0, (size_t)(mw - (i >> 3)));
         }
     }
-    return 0;
+    return any_n ? 1 : 0;
 }
 
 void fx_free(FxResult* r) {
