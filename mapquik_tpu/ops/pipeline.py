@@ -9,6 +9,7 @@ formats PAF text out (src/mers.rs:181 line layout).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -429,6 +430,18 @@ class Mapper:
                 self._zmasks[shape] = zm
             return zm
 
+        # Dispatch discipline (probe3/probe6): an h2d upload issued while a
+        # program RUNS on the tunneled device stalls catastrophically (28 ms
+        # compute + 29 ms upload -> ~330 ms wall), so "overlapped" uploads
+        # serialize the whole pipe at the slow contended rate. `serial` keeps
+        # transfers and compute mutually exclusive on the worker thread and
+        # uses the result pull itself as the completion barrier; host packing
+        # still overlaps on the main thread. MAPQUIK_DISPATCH=overlap restores
+        # the fire-and-forget behavior (useful if the tunnel ever overlaps).
+        serial_dispatch = (
+            os.environ.get("MAPQUIK_DISPATCH", "serial") != "overlap"
+        )
+
         def _run_group(buf, staged, cap, L, any_n):
             """Upload + dispatch G staged sub-batches as one program (runs on
             the dispatch worker thread)."""
@@ -443,6 +456,8 @@ class Mapper:
                 (p2_d, mask_d, lens_d, self.index, self.ref_lens),
             )
             flat = prog(p2_d, mask_d, lens_d, self.index, self.ref_lens)
+            if serial_dispatch:
+                flat = np.asarray(flat)  # completion barrier + the result pull
             items = []
             for g, (nm, ln, rows_g, lens_host) in enumerate(staged):
                 loci = _stats_loci(p2_d[g], mask_d[g], lens_d[g], cap, L)
@@ -466,6 +481,8 @@ class Mapper:
                     (p2_d, mask_d, lens_d, self.index, self.ref_lens),
                 )
                 flat = prog(p2_d, mask_d, lens_d, self.index, self.ref_lens)
+                if serial_dispatch:
+                    flat = np.asarray(flat)
                 loci = _stats_loci(p2_d, mask_d, lens_d, cap, L)
                 items.append((nm, ln, flat, loci, rows_g, lens_host, cap, L))
             return items
@@ -544,7 +561,9 @@ class Mapper:
         def finalize_group(items):
             if not items:
                 return
-            if len(items) == 1:
+            if all(isinstance(it[2], np.ndarray) for it in items):
+                pulled = [np.array(it[2]) for it in items]  # serial: pre-pulled
+            elif len(items) == 1:
                 pulled = [np.array(items[0][2])]
             else:
                 cat = np.asarray(jnp.concatenate([it[2] for it in items]))

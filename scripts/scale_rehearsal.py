@@ -74,6 +74,42 @@ def main():
     log(f"mapped {ev.n_mapped}/{ev.n_reads} ({ev.n_reads/map_s:.0f} reads/s "
         f"e2e), wrong={ev.n_wrong} q60={ev.q60_total} q60_wrong={ev.q60_wrong}")
 
+    # steady DEVICE map_batch time against this table (VERDICT r2 item 4:
+    # must stay within ~10% of the small-index number — the probe gathers
+    # touch a ~2 GB table instead of a ~50 MB one)
+    from mapquik_tpu.oracle.pyref import encode
+    from mapquik_tpu.ops.pipeline import map_batch_flat_multi
+
+    B, G, L, CAP = 256, 4, 1 << 15, 1 << 9
+    ref_lens = jnp.asarray(meta.lengths.astype(np.int32))
+    greads = simulate_reads(genome, B * G, mean_len=24_000, accuracy=0.99,
+                            seed=73)
+    codes = np.full((G, B, L), 4, np.uint8)
+    lens = np.zeros((G, B), np.int32)
+    for g in range(G):
+        for j, (_, seq) in enumerate(greads[g * B : (g + 1) * B]):
+            c = encode(seq)[:L]
+            codes[g, j, : len(c)] = c
+            lens[g, j] = len(c)
+    codes_d, lens_d = jnp.asarray(codes), jnp.asarray(lens)
+    r = map_batch_flat_multi(codes_d, lens_d, index, ref_lens, p, CAP, G)
+    np.asarray(r[0, :2])  # compile + settle
+    best = 1e9
+    for _ in range(3):
+        tb2 = time.time()
+        r = map_batch_flat_multi(codes_d, lens_d, index, ref_lens, p, CAP, G)
+        np.asarray(r[0, :2])
+        best = min(best, (time.time() - tb2) / G)
+    map_batch_ms = best * 1000
+    log(f"steady map_batch: {map_batch_ms:.2f} ms/batch at {n/1e9:.2f} GB index")
+
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        hbm_in_use = int(ms.get("bytes_in_use", 0))
+        hbm_limit = int(ms.get("bytes_limit", 0))
+    except Exception:
+        hbm_in_use = hbm_limit = 0
+
     table_slots = int(np.prod(index.slots.shape[:2])) if hasattr(index, "slots") else 0
     out = {
         "genome_gb": args.genome_gb,
@@ -89,6 +125,9 @@ def main():
         "wrong": ev.n_wrong,
         "q60": ev.q60_total,
         "q60_wrong": ev.q60_wrong,
+        "map_batch_ms_steady": round(map_batch_ms, 2),
+        "hbm_bytes_in_use": hbm_in_use,
+        "hbm_bytes_limit": hbm_limit,
         "device": str(jax.devices()[0]),
     }
     with open(args.out, "w") as f:

@@ -123,3 +123,54 @@ class TestRepeatSemantics:
         assert len(uniq) >= 10
         frac = sum(nm in mapped_names for nm in uniq) / len(uniq)
         assert frac >= 0.9
+
+
+class TestLargeRepeatArtifact:
+    """Regression gate on the committed large-scale repeat-stress artifact
+    (experiments/repeat_stress_large.csv, produced on-chip by
+    scripts/repeat_report.py --preset maize --genome-mb 100+). Per-class
+    counts there are large enough that q60_frac moves <1% per read — the
+    statistical strength the reference's maize-30X/censat analyses have
+    (/root/reference/experiments/table1.sh:121-129)."""
+
+    def _rows(self):
+        import csv
+        import os
+
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "experiments",
+            "repeat_stress_large.csv",
+        )
+        if not os.path.exists(path):
+            pytest.skip("large repeat artifact not yet generated")
+        rows = {}
+        with open(path) as f:
+            for rec in csv.DictReader(f):
+                if rec.get("class"):
+                    rows[rec["class"]] = rec
+        return rows
+
+    def test_scale_floor(self):
+        rows = self._rows()
+        assert sum(int(r["reads"]) for r in rows.values()) >= 5000
+        for cls in ("tandem", "segdup"):
+            assert cls in rows and int(rows[cls]["reads"]) >= 200, (
+                f"{cls} class too thin to regress on"
+            )
+
+    def test_specificity(self):
+        # the reference's bar: zero Q60-wrong in every repeat class
+        for cls, r in self._rows().items():
+            assert int(r["q60_wrong"]) == 0, (cls, r)
+
+    def test_sensitivity_by_class(self):
+        rows = self._rows()
+        assert float(rows["unique"]["q60_frac"]) >= 0.97
+        # interior tandem reads are legitimately suppressed; bound from below
+        # loosely and from above by the unique class
+        if "tandem" in rows:
+            assert float(rows["tandem"]["q60_frac"]) <= float(
+                rows["unique"]["q60_frac"]
+            ) + 1e-9
+        if "segdup" in rows:
+            assert float(rows["segdup"]["q60_frac"]) >= 0.85
