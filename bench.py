@@ -80,7 +80,7 @@ def main():
     from mapquik_tpu.eval.mapeval import evaluate_paf
     from mapquik_tpu.index.build import build_index
     from mapquik_tpu.ops.pipeline import (
-        Mapper, format_paf, map_batch_flat_multi, unflatten_map_result,
+        Mapper, format_paf, unflatten_map_result,
     )
     from mapquik_tpu.oracle.pyref import encode
 
@@ -143,11 +143,23 @@ def main():
         groups.append((jnp.asarray(codes), jnp.asarray(lens), nm))
     ref_lens = jnp.asarray(meta.lengths.astype(np.int32))
 
-    # warmup/compile
+    # warmup/compile — resolved through the AOT executable cache when
+    # available (a warm cache turns the relay's 10-300 s first compile into a
+    # ~1-2 s deserialize; utils/aot.py)
     log(f"compiling map_batch (G={Gd})")
-    res = map_batch_flat_multi(
-        groups[0][0], groups[0][1], index, ref_lens, p, CAP, Gd
+    from mapquik_tpu.ops.pipeline import _flat_multi_program_fn
+    from mapquik_tpu.utils.aot import cached_program
+
+    ex_args = (groups[0][0], groups[0][1], index, ref_lens)
+    prog = cached_program(
+        f"bench_map_flat_c{CAP}_G{Gd}", _flat_multi_program_fn(p, CAP, Gd),
+        ex_args, statics_key=(repr(p), CAP, Gd),
     )
+
+    def run_map(codes, lens):
+        return prog(codes, lens, index, ref_lens)
+
+    res = run_map(groups[0][0], groups[0][1])
     jax.block_until_ready(res)
     log("map_batch compiled; timing steady state")
 
@@ -162,9 +174,7 @@ def main():
         t0 = time.time()
         results = []
         for codes, lens, nm in groups:
-            results.append(
-                map_batch_flat_multi(codes, lens, index, ref_lens, p, CAP, Gd)
-            )
+            results.append(run_map(codes, lens))
         jax.block_until_ready(results)
         np.asarray(results[-1][0, :2])
         map_s = min(map_s, time.time() - t0)

@@ -205,6 +205,18 @@ def _single_program_fn(p: Params, cap: int, L: int):
     return fn
 
 
+@functools.lru_cache(maxsize=None)
+def _flat_multi_program_fn(p: Params, cap: int, G: int):
+    """Statics-closed jit of map_batch_flat_multi for AOT resolution (bench /
+    pre-staged raw-code paths)."""
+
+    @jax.jit
+    def fn(codes, lengths, index, ref_lens):
+        return map_batch_flat_multi(codes, lengths, index, ref_lens, p, cap, G)
+
+    return fn
+
+
 def unflatten_map_result(flat: np.ndarray) -> MapResult:
     """Host-side inverse of map_batch_packed's flat layout."""
     return MapResult(
