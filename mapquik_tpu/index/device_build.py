@@ -269,16 +269,58 @@ def build_index_device(
     # buffers. The prior path (fresh np.full((256, 32k)) ~140 ms of page
     # faults + row memcpy + numpy pack2_host, per chunk) cost ~25 s of the
     # 1 GB build's ~40 s. Fallback (no toolchain): warm reused [B, L] buffer.
-    # ring of 4 upload-buffer pairs: a buffer is never rewritten while its
-    # h2d transfer may still be in flight
+    # Transfer/compute contention discipline (probe3/probe6 + DESIGN.md): an
+    # h2d upload issued while an extraction program RUNS on the tunneled
+    # device crawls at the contended rate (~27 MB/s vs 450-725 idle), which
+    # bounded the whole device build at ~11-37 MB/s. Batches therefore feed
+    # in PHASE GROUPS of _GROUP: pack all (host), upload all (device idle),
+    # dispatch all (no transfers in flight), then ONE tiny scalar pull as the
+    # completion barrier (~30-130 ms latency, amortized over the group).
+    _GROUP = 8
     _ring = [
         (np.zeros((batch_windows, L // 4), dtype=np.uint8),
          np.zeros((batch_windows, L // 8), dtype=np.uint8))
-        for _ in range(4)
+        for _ in range(_GROUP + 1)
     ]
     _ri = 0
     arr = None
     zmask = None
+    pending: List[tuple] = []
+    base = jnp.zeros((), jnp.int32)
+
+    def flush_pending():
+        """Upload every pending batch, then dispatch, then await completion."""
+        nonlocal base, flag_acc
+        if not pending:
+            return
+        nonlocal zmask
+        ups = []
+        for (p2_buf, mask_buf, has_n, lens, csa, cea, sea, n_contig, rid,
+             new_contig) in pending:
+            # N-free windows (the usual case) skip the mask upload: 1/3 of
+            # the build's upload bytes on an upload-bound path
+            if has_n:
+                mask_d = jnp.asarray(mask_buf)
+            else:
+                if zmask is None:
+                    zmask = jnp.zeros((batch_windows, L // 8), jnp.uint8)
+                mask_d = zmask
+            ups.append((
+                jnp.asarray(p2_buf), mask_d, jnp.asarray(lens),
+                jnp.asarray(csa), jnp.asarray(cea), jnp.asarray(sea),
+                n_contig, rid, new_contig,
+            ))
+        pending.clear()
+        for p2_d, mask_d, lens_d, cs_d, ce_d, se_d, n_contig, rid, nc in ups:
+            if nc:
+                base = jnp.zeros((), jnp.int32)  # offsets restart per contig
+            out = run(p2_d, mask_d, lens_d, cs_d, ce_d, se_d, n_contig, base,
+                      np.int32(rid))
+            batches.append(out[:6])
+            base = out[6]
+            flag_acc = flag_acc | out[7]
+        np.asarray(base)  # completion barrier: next group uploads to an idle device
+
     for rid, (codes, wins) in enumerate(encoded):
         if not wins:
             continue
@@ -287,7 +329,6 @@ def build_index_device(
                 f"device-extracting contig ({codes.shape[0]} bp, {len(wins)} windows)"
             )
         total_windows += len(wins)
-        base = jnp.zeros((), jnp.int32)  # k-min-mer offsets restart per contig
         n_contig = np.int32(codes.shape[0])
         for i in range(0, len(wins), batch_windows):
             chunk = wins[i : i + batch_windows]
@@ -315,22 +356,13 @@ def build_index_device(
                 p2n, maskn = seeding.pack2_host(arr, lens)
                 p2_buf[:], mask_buf[:] = p2n, maskn
                 has_n = int(maskn.any())
-            # N-free windows (the usual case) skip the mask upload: 1/3 of
-            # the build's upload bytes on an upload-bound path
-            if has_n:
-                mask_d = jnp.asarray(mask_buf)
-            else:
-                if zmask is None:
-                    zmask = jnp.zeros((batch_windows, L // 8), jnp.uint8)
-                mask_d = zmask
-            out = run(
-                jnp.asarray(p2_buf), mask_d, jnp.asarray(lens),
-                jnp.asarray(csa), jnp.asarray(cea), jnp.asarray(sea),
-                n_contig, base, np.int32(rid),
-            )
-            batches.append(out[:6])
-            base = out[6]
-            flag_acc = flag_acc | out[7]
+            pending.append((
+                p2_buf, mask_buf, has_n, lens, csa, cea, sea, n_contig, rid,
+                i == 0,
+            ))
+            if len(pending) >= _GROUP:
+                flush_pending()
+    flush_pending()
 
     if not batches:
         return None
