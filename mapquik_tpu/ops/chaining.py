@@ -88,9 +88,180 @@ def _seg_end(valid: jax.Array, head: jax.Array) -> jax.Array:
     return v
 
 
+def _seg_total(vals: jax.Array, head: jax.Array, op, identity) -> jax.Array:
+    """Whole-segment reduction broadcast to EVERY element, no gather:
+    inclusive prefix scan + inclusive suffix scan (op must be idempotent —
+    min/max; use _seg_total_add for sums). The suffix pass runs the prefix
+    machinery over reversed planes (lax.rev is an elementwise-cost op here,
+    unlike gathers at ~1.4 ms each)."""
+    B, M = vals.shape
+    pre = _seg_prefix(vals, head, op, identity)
+    tail = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+    suf = jnp.flip(
+        _seg_prefix(jnp.flip(vals, 1), jnp.flip(tail, 1), op, identity), 1
+    )
+    return op(pre, suf)
+
+
+def _seg_total_add(vals: jax.Array, head: jax.Array) -> jax.Array:
+    """Segment SUM broadcast to every element (self counted once)."""
+    B, M = vals.shape
+    pre = _seg_prefix(vals, head, lambda a, b: a + b, np.int32(0))
+    tail = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+    suf = jnp.flip(
+        _seg_prefix(
+            jnp.flip(vals, 1), jnp.flip(tail, 1), lambda a, b: a + b,
+            np.int32(0),
+        ),
+        1,
+    )
+    return pre + suf - vals
+
+
+def _seg_total_bykey(key: jax.Array, vals, head: jax.Array, take_max: bool):
+    """For each element: (extreme key over its segment, the carried values at
+    that extreme element). Keys must be unique within a segment (callers
+    encode tiebreaks into the key). One log-depth pass per direction carrying
+    all value planes — replaces a per-row gather at the winning position."""
+    B, M = key.shape
+    ident = np.int32(-0x7FFFFFFF - 1) if take_max else _BIG_I32
+
+    def sweep(k, vs, f):
+        s = 1
+        while s < M:
+            pk = jnp.concatenate(
+                [jnp.full((B, s), ident, k.dtype), k[:, :-s]], axis=1
+            )
+            pvs = [
+                jnp.concatenate([jnp.zeros((B, s), v.dtype), v[:, :-s]], axis=1)
+                for v in vs
+            ]
+            pf = jnp.concatenate([jnp.zeros((B, s), bool), f[:, :-s]], axis=1)
+            better = (pk > k) if take_max else (pk < k)
+            nk = jnp.where(better, pk, k)
+            nvs = [jnp.where(better, pv, v) for pv, v in zip(pvs, vs)]
+            k = jnp.where(f, k, nk)
+            vs = [jnp.where(f, v, nv) for v, nv in zip(vs, nvs)]
+            f = f | pf
+            s *= 2
+        return k, vs
+
+    kf, vf = sweep(key, list(vals), head)
+    tail = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+    kbr, vbr = sweep(
+        jnp.flip(key, 1), [jnp.flip(v, 1) for v in vals], jnp.flip(tail, 1)
+    )
+    kb = jnp.flip(kbr, 1)
+    vb = [jnp.flip(v, 1) for v in vbr]
+    use_b = (kb > kf) if take_max else (kb < kf)
+    ktot = jnp.where(use_b, kb, kf)
+    vtot = [jnp.where(use_b, b, a) for a, b in zip(vf, vb)]
+    return ktot, vtot
+
+
+def chain_and_select_v2(mb: MatchBatch, p: Params) -> tuple:
+    """Gather-free chain_and_select: identical output, zero take_rows.
+
+    Every per-bucket summary (anchor fields, chain score/length, endpoint
+    fields) is broadcast to its elements by forward+backward segmented
+    shift-scans instead of being gathered at representative positions —
+    gathers cost ~0.5-1.4 ms each in-situ on this device while shift-scans
+    are elementwise (DESIGN.md cost model). Also drops the bucket-slot
+    compaction sort (_compact_positions) the gather formulation needed.
+    Semantics per src/chain.rs + src/mers.rs:104-129 as v1."""
+    B, M = mb.count.shape
+    idx = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+
+    ops = [mb.bucket, idx, mb.count, mb.q_start, mb.q_end, mb.r_start,
+           mb.r_end, mb.rc.astype(jnp.int32)]
+    s = rowsort(ops, is_stable=True)
+    bucket, _, count, q_s, q_e, r_s, r_e, rc_i = s
+    rc = rc_i.astype(bool)
+    valid = bucket != _BIG_I32
+
+    prev_bucket = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), bucket[:, :-1]], axis=1
+    )
+    bhead = valid & (bucket != prev_bucket)
+    nb = jnp.sum(bhead.astype(jnp.int32), axis=1)
+
+    # anchor per bucket: unique composite key (count-major, early-idx
+    # tiebreak), fields carried by the by-key scan — no gather
+    key = jnp.where(valid, count * np.int32(M + 1) + (np.int32(M) - idx), -1)
+    _, avals = _seg_total_bykey(
+        key, [count, q_s, q_e, r_s, r_e, rc_i], bhead, take_max=True
+    )
+    a_count, a_qs, a_qe, a_rs, a_re, a_rc_i = avals
+    a_rc = a_rc_i.astype(bool)
+
+    # compatibility with the anchor (chain.rs:43-63) — identical to v1
+    eq = (
+        (a_qs == q_s) & (a_qe == q_e) & (a_rs == r_s) & (a_re == r_e)
+        & (a_count == count) & (a_rc == rc)
+    )
+    same_strand = a_rc == rc
+    a_first = a_qs < q_s
+    u_qe = jnp.where(a_first, a_qe, q_e)
+    u_rs = jnp.where(a_first, a_rs, r_s)
+    u_re = jnp.where(a_first, a_re, r_e)
+    u_rc = jnp.where(a_first, a_rc, rc)
+    v_qs = jnp.where(a_first, q_s, a_qs)
+    v_rs = jnp.where(a_first, r_s, a_rs)
+    v_re = jnp.where(a_first, r_e, a_re)
+    g1 = v_qs - u_qe
+    g2_fwd = v_rs - u_re
+    g2_rc = u_rs - v_re
+    ok_fwd = (v_rs > u_rs) & (jnp.abs(g1 - g2_fwd) <= np.int32(p.g))
+    ok_rc = (u_rs > v_rs) & (jnp.abs(g1 - g2_rc) <= np.int32(p.g))
+    compat = eq | (same_strand & jnp.where(u_rc, ok_rc, ok_fwd))
+    surv = valid & compat
+
+    # per-bucket chain stats, broadcast to every element
+    score_t = _seg_total_add(jnp.where(surv, count, 0), bhead)
+    len_t = _seg_total_add(surv.astype(jnp.int32), bhead)
+    # endpoint fields: survivors' first (min idx) and last (max idx) carried
+    # by two by-key scans
+    fkey = jnp.where(surv, idx, _BIG_I32)
+    _, fvals = _seg_total_bykey(
+        fkey, [rc_i, q_s, r_s, r_e], bhead, take_max=False
+    )
+    lkey = jnp.where(surv, idx, -1)
+    _, lvals = _seg_total_bykey(lkey, [q_e, r_s, r_e], bhead, take_max=True)
+    c_rc = fvals[0].astype(bool)
+    use_rc_coords = c_rc & (len_t > 1)  # chain.rs:165-168
+    c_qs = fvals[1]
+    c_qe = lvals[0] - 1
+    c_rs = jnp.where(use_rc_coords, lvals[1], fvals[2])
+    c_re = jnp.where(use_rc_coords, fvals[3], lvals[2]) - 1
+    c_rid = bucket
+    mapq_on = (p.s != 0) and (p.c != 0)
+    c_mapq = jnp.where(
+        mapq_on & ((len_t >= np.int32(p.c)) | (score_t >= np.int32(p.s))),
+        np.int32(60),
+        np.int32(0),
+    )
+
+    # best bucket per read over HEAD elements; top-2 tie -> unmapped
+    # (mers.rs:104-129). argmax picks the first max = earliest bucket, as v1.
+    hs = jnp.where(bhead, score_t, -1)
+    best = jnp.argmax(hs, axis=1).astype(jnp.int32)
+    max1 = jnp.max(hs, axis=1)
+    max2 = jnp.max(jnp.where(idx == best[:, None], -1, hs), axis=1)
+    mapped = (nb >= 1) & (max1 != max2)
+
+    selm = idx == best[:, None]
+    pick = lambda a: jnp.sum(jnp.where(selm, a, 0), axis=1)
+    return (
+        mapped, pick(fvals[0]).astype(bool), pick(c_qs), pick(c_qe),
+        pick(c_rs), pick(c_re), pick(score_t), pick(c_mapq), pick(c_rid),
+    )
+
+
 def chain_and_select(mb: MatchBatch, p: Params) -> tuple:
     """Returns per-read best-chain record fields (before coordinate projection):
     (mapped, rc, q_start, q_end(excl-1 applied), r_start, r_end, score, mapq, rid)."""
+    if getattr(p, "chain_scan", False):
+        return chain_and_select_v2(mb, p)
     B, M = mb.count.shape
     idx = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
     valid_in = idx < mb.n[:, None]

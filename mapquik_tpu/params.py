@@ -70,6 +70,11 @@ class Params:
                                      # d=0.01 — 512 sat at +1.3 sigma and fired
                                      # the doubled-cap retry/recompile on real
                                      # builds; 1024 is +25 sigma)
+    chain_scan: bool = False         # gather-free chaining (ops/chaining v2):
+                                     # segment scans broadcast bucket summaries
+                                     # instead of 5 per-row gathers; bit-identical
+                                     # output (differential-tested), adopted or
+                                     # not per measured in-situ delta
 
     def __post_init__(self):
         if self.k < 2:
