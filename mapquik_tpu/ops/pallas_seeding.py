@@ -31,6 +31,7 @@ Exactness: bit-identical to ops/seeding.nthash32_batch for all valid positions
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -219,12 +220,15 @@ _MARKER = np.int32(0x7FFFFFFE)  # poskey flag: fall back to the uncompacted path
 _H = 256                        # right-halo lanes: >= l runs ahead of any owned
                                 # entry for run density >= l/_H (~0.12; random DNA
                                 # is ~0.75) — rarer regions hit the MARKER fallback
-_CBLK = 2048                    # compaction kernel core width (wider than the
+_CBLK = int(os.environ.get("MAPQUIK_CBLK", "2048"))
+                                # compaction kernel core width (wider than the
                                 # round-1 kernels' 512: amortizes the halo —
                                 # 2048 cuts the halo fraction to 12.5% and
                                 # halves the post-kernel merge-sort width;
                                 # measured 14.9 -> 14.1 ms/batch vs 1024 with
-                                # bit-identical output, scripts/r3_probe2.py)
+                                # bit-identical output, scripts/r3_probe2.py).
+                                # Env override is an A/B hook only (import-time;
+                                # outputs stay bit-identical at any width).
 _WC = _CBLK + _H                # compaction window width
 
 _INTERPRET = False  # test hook: run the compaction kernels interpreted on CPU
