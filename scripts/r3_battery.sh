@@ -1,0 +1,56 @@
+#!/bin/bash
+# Round-3 TPU measurement battery: strictly serial (the tunnel is
+# single-tenant), each stage time-boxed, continues past failures, resumable
+# (skips stages whose marker file exists). Run it whenever the TPU window
+# opens; logs land in /tmp/r3_battery/.
+#
+#   bash scripts/r3_battery.sh [stage...]   # default: all stages in order
+
+set -u
+cd /root/repo
+OUT=/tmp/r3_battery
+mkdir -p "$OUT"
+STAGES=${@:-"ab bench dsweep repeat"}
+
+log() { echo "[battery $(date +%H:%M:%S)] $*" | tee -a "$OUT/battery.log"; }
+
+run_stage() { # name timeout cmd...
+  local name=$1 tmo=$2; shift 2
+  if [ -e "$OUT/$name.done" ]; then log "$name: already done, skipping"; return; fi
+  log "$name: start (timeout ${tmo}s)"
+  timeout "$tmo" "$@" >"$OUT/$name.out" 2>"$OUT/$name.err"
+  local rc=$?
+  log "$name: exit $rc"
+  [ $rc -eq 0 ] && touch "$OUT/$name.done"
+}
+
+for s in $STAGES; do
+  case $s in
+    ab)
+      run_stage ab 2400 python scripts/r3_chain_scan_ab.py
+      ;;
+    bench)
+      run_stage bench 3000 python bench.py
+      ;;
+    dsweep)
+      # regenerated density sweep: honest 128-step caps should flatten the
+      # round-2 power-of-two cliff (VERDICT item 5)
+      run_stage dsweep 3600 python scripts/sweep.py --axis d --genome-mb 8 --reads 512
+      [ -e "$OUT/dsweep.done" ] && grep -q reads_per_s "$OUT/dsweep.out" && \
+        cp "$OUT/dsweep.out" experiments/d_sweep_v5e.csv && log "dsweep: artifact updated"
+      ;;
+    repeat)
+      # maize-scale repeat stress (VERDICT item 7): >=100 MB, >=5000 reads
+      run_stage repeat 7200 python scripts/repeat_report.py \
+        --preset maize --genome-mb 100 --depth 1.0 \
+        --out experiments/repeat_stress_large.csv
+      ;;
+    chm13)
+      # CHM13-scale rehearsal (VERDICT item 4) — longest; run explicitly
+      run_stage chm13 10800 python scripts/scale_rehearsal.py \
+        --genome-gb 3.1 --out experiments/scale_rehearsal_chm13.json
+      ;;
+    *) log "unknown stage $s";;
+  esac
+done
+log "battery pass complete"
