@@ -85,7 +85,7 @@ def main():
 
         return fn
 
-    variants = [("gather(v1)", p),
+    variants = [("gather(v1)", dataclasses.replace(p, chain_scan=False)),
                 ("scan(v2) ", dataclasses.replace(p, chain_scan=True))]
     results = {}
     # interleave timing rounds so relay-phase drift hits both variants equally
