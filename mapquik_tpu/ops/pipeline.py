@@ -349,7 +349,7 @@ class Mapper:
 
         use_native_pack = _native.available()
         G = max(1, int(p.dispatch_group))
-        _DISPATCH_Q = 2  # upload/dispatch jobs in flight behind the worker
+        _DISPATCH_Q = 3  # upload/dispatch jobs in flight behind the worker
 
         class _Bin:
             """Reads are held as ZERO-COPY code references (views into the
@@ -382,8 +382,11 @@ class Mapper:
                         np.zeros((G, B, self.L // 8), np.uint8))
 
             def next_buf(self):
+                # ring must cover every buffer that can be in flight at once:
+                # a worker WAVE (<= _DISPATCH_Q), the refilled queue
+                # (<= _DISPATCH_Q), and the one being staged
                 self._ri += 1
-                if len(self._ring) < _DISPATCH_Q + 3:
+                if len(self._ring) < 2 * _DISPATCH_Q + 1:
                     self._ring.append(self._alloc())
                 self.buf = self._ring[self._ri % len(self._ring)]
 
@@ -454,27 +457,61 @@ class Mapper:
             os.environ.get("MAPQUIK_DISPATCH", "serial") != "overlap"
         )
 
-        def _run_group(buf, staged, cap, L, any_n):
-            """Upload + dispatch G staged sub-batches as one program (runs on
-            the dispatch worker thread)."""
+        def _upload_group(buf, staged, cap, L, any_n):
+            """Phase 1: host buffers -> device (h2d only, device otherwise idle)."""
             p2, mask = buf
             p2_d = jnp.asarray(p2)
             mask_d = jnp.asarray(mask) if any_n else _zero_mask(mask.shape)
-            lens_all = np.stack([s[3] for s in staged])
-            lens_d = jnp.asarray(lens_all)
+            lens_d = jnp.asarray(np.stack([s[3] for s in staged]))
+            return p2_d, mask_d, lens_d
+
+        def _dispatch_group(up, cap, L):
+            """Phase 2: dispatch the G-batch program (no transfers in flight)."""
+            p2_d, mask_d, lens_d = up
             prog = self._program(
                 f"map_group_c{cap}_L{L}_G{G}",
                 _group_program_fn(p, cap, L, G),
                 (p2_d, mask_d, lens_d, self.index, self.ref_lens),
             )
-            flat = prog(p2_d, mask_d, lens_d, self.index, self.ref_lens)
-            if serial_dispatch:
-                flat = np.asarray(flat)  # completion barrier + the result pull
+            return prog(p2_d, mask_d, lens_d, self.index, self.ref_lens)
+
+        def _items_of(flat, up, staged, cap, L):
+            p2_d, mask_d, lens_d = up
             items = []
             for g, (nm, ln, rows_g, lens_host) in enumerate(staged):
                 loci = _stats_loci(p2_d[g], mask_d[g], lens_d[g], cap, L)
                 items.append((nm, ln, flat[g], loci, rows_g, lens_host, cap, L))
             return items
+
+        def _run_group(buf, staged, cap, L, any_n):
+            """Upload + dispatch G staged sub-batches as one program (runs on
+            the dispatch worker thread)."""
+            up = _upload_group(buf, staged, cap, L, any_n)
+            flat = _dispatch_group(up, cap, L)
+            if serial_dispatch:
+                flat = np.asarray(flat)  # completion barrier + the result pull
+            return _items_of(flat, up, staged, cap, L)
+
+        def _run_wave(groups):
+            """Several staged groups as one serial-discipline WAVE: upload all
+            (device idle), dispatch all (no transfers in flight), then ONE
+            concatenated pull as both the result transfer and the completion
+            barrier — each d2h pull costs ~30-130 ms of tunnel LATENCY
+            regardless of size, so pulling once per wave instead of once per
+            group amortizes the dominant fixed cost over 2-3x more reads."""
+            ups = [_upload_group(*s) for s in groups]
+            flats = [
+                _dispatch_group(u, s[2], s[3]) for u, s in zip(ups, groups)
+            ]
+            cat = np.asarray(jnp.concatenate(flats)) if len(flats) > 1 else (
+                np.asarray(flats[0])
+            )
+            out, o = [], 0
+            for u, s, f in zip(ups, groups, flats):
+                fl = cat[o : o + f.shape[0]]
+                o += f.shape[0]
+                out.append(_items_of(fl, u, s[1], s[2], s[3]))
+            return out
 
         def _run_tail(buf, staged, cap, L, any_n):
             """Leftover staged sub-batches (< G) through the single-batch
@@ -514,12 +551,34 @@ class Mapper:
         worker_err: List[BaseException] = []
 
         def _worker():
-            while True:
-                fn = jobs.get()
-                if fn is None:
+            stop = False
+            while not stop:
+                job = jobs.get()
+                if job is None:
                     return
+                wave = [job]
+                # opportunistically drain queued jobs into one wave (bounded
+                # by the queue size); a wave shares one completion pull
+                while serial_dispatch and len(wave) < _DISPATCH_Q:
+                    try:
+                        nxt = jobs.get_nowait()
+                    except _queue.Empty:
+                        break
+                    if nxt is None:
+                        stop = True
+                        break
+                    wave.append(nxt)
                 try:
-                    done_q.put(fn())
+                    groups = [s for k, s in wave if k == "group"]
+                    tails = [s for k, s in wave if k == "tail"]
+                    if serial_dispatch and len(groups) > 1:
+                        for items in _run_wave(groups):
+                            done_q.put(items)
+                    else:
+                        for s in groups:
+                            done_q.put(_run_group(*s))
+                    for s in tails:
+                        done_q.put(_run_tail(*s))
                 except BaseException as e:  # pragma: no cover - surfaced below
                     worker_err.append(e)
                     done_q.put(None)
@@ -547,7 +606,7 @@ class Mapper:
                 bn.staged = []
                 bn.any_n = False
                 bn.next_buf()
-                jobs.put(lambda s=snap: _run_group(*s))
+                jobs.put(("group", snap))
 
         def dispatch_tail(bn: "_Bin"):
             if bn.rows or bn.names:
@@ -557,7 +616,7 @@ class Mapper:
                 bn.staged = []
                 bn.any_n = False
                 bn.next_buf()
-                jobs.put(lambda s=snap: _run_tail(*s))
+                jobs.put(("tail", snap))
 
         def shutdown_worker():
             while True:
