@@ -345,6 +345,22 @@ class TestLongReads:
         assert any(int(line.split("\t")[1]) > (1 << 15) for line in got)
 
 
+class TestWaveDispatch:
+    def test_wave_equals_overlap_path(self, genome, monkeypatch):
+        """Serial wave dispatch (upload-all/dispatch-all/one pull per wave)
+        must yield the same PAF line set as the overlap (fire-and-forget)
+        worker path; enough batches that multi-group waves actually form
+        (B=16, G=4 -> 64 reads per group job, 384 reads = 6 jobs)."""
+        reads = simulate_reads(genome, 384, mean_len=3000, accuracy=0.99, seed=31)
+        m = Mapper(genome, P)
+        monkeypatch.setenv("MAPQUIK_DISPATCH", "serial")
+        a = sorted(m.map_reads(reads))
+        monkeypatch.setenv("MAPQUIK_DISPATCH", "overlap")
+        b = sorted(m.map_reads(reads))
+        assert len(a) > 360
+        assert a == b
+
+
 class TestLengthBins:
     def test_binned_output_equals_unbinned(self, genome):
         """Mixed-length reads through length bins: same PAF line set as single-bin."""
