@@ -75,6 +75,12 @@ class Params:
                                      # instead of 5 per-row gathers; bit-identical
                                      # output (differential-tested), adopted or
                                      # not per measured in-situ delta
+    seed_merge_scan: bool = False    # sort-free cross-block seed merge
+                                     # (ops/seeding._merge_block_prefixes):
+                                     # replace the post-kernel [B, nblocks*K]
+                                     # position sort with a block-granular
+                                     # log-shift compaction; bit-identical
+                                     # output, adoption per in-situ delta
 
     def __post_init__(self):
         if self.k < 2:
