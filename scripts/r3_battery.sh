@@ -27,7 +27,7 @@ run_stage() { # name timeout cmd...
 for s in $STAGES; do
   case $s in
     ab)
-      run_stage ab 2400 python scripts/r3_chain_scan_ab.py
+      run_stage ab 3600 python scripts/r3_toggles_ab.py
       ;;
     bench)
       run_stage bench 3000 python bench.py
