@@ -29,6 +29,14 @@ def log(m):
 
 
 def main():
+    smoke = "--smoke" in sys.argv  # tiny CPU validation of the harness itself
+    if smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from mapquik_tpu.ops import pallas_seeding
+
+        pallas_seeding._INTERPRET = True  # engage the kernel+merge path on CPU
     import jax
     import jax.numpy as jnp
 
@@ -42,19 +50,21 @@ def main():
     from mapquik_tpu.ops.pipeline import _flatten_map_result
     from mapquik_tpu.oracle.pyref import encode
 
-    B, G = 256, 4
-    L = 1 << 15
-    cap = 1 << 9
+    B, G = (32, 2) if smoke else (256, 4)
+    L = (1 << 13) if smoke else (1 << 15)
+    cap = (1 << 8) if smoke else (1 << 9)
+    mean_len = 6_000 if smoke else 24_000
     p0 = Params(k=7, l=31, density=0.01, max_read_len=L, max_minimizers=cap,
                 batch_size=B, chain_scan=False, seed_merge_scan=False)
     log(f"device {jax.devices()[0]}")
-    genome = markov_genome(16_000_000, seed=11, n_contigs=4)
+    genome = markov_genome(1_000_000 if smoke else 16_000_000, seed=11,
+                           n_contigs=4)
     index, meta = build_index(genome, p0, device=False)
     log(f"index ready: {index.n} keys")
     ref_lens = jnp.asarray(meta.lengths.astype(np.int32))
 
     def make_inputs(seed):
-        reads = simulate_reads(genome, B * G, mean_len=24_000, accuracy=0.99,
+        reads = simulate_reads(genome, B * G, mean_len=mean_len, accuracy=0.99,
                                seed=seed)
         codes = np.full((G, B, L), 4, np.uint8)
         lens = np.zeros((G, B), np.int32)
