@@ -316,11 +316,30 @@ def _merge_block_prefixes(planes, valid, K, fills):
     holes = np.int32(K) - v.reshape(B, nb, K).sum(axis=2)
     S = jnp.cumsum(holes, axis=1) - holes  # exclusive: holes before my block
     sh = jnp.broadcast_to(S[:, :, None], (B, nb, K)).reshape(B, M)
+    # max shift = holes of nb-1 full blocks = M - K
+    return _compact_scan_loop(planes, valid, sh, fills, max_shift=M - K)
+
+
+def compact_scan(planes, valid, fills):
+    """General stable compaction of the valid-masked elements of each row to
+    the row prefix, sort-free: per-element left-shift = holes before it
+    (non-decreasing along the row -> the binary log-shift is collision-free
+    for ANY mask). Bit-identical to the rowsort-on-(pos|BIG)-key compaction
+    idiom used across matching/chaining, as log2(M) elementwise passes
+    instead of a multi-operand sort."""
+    v = valid.astype(jnp.int32)
+    sh = jnp.cumsum(1 - v, axis=1) - (1 - v)  # exclusive hole count
     sh = jnp.where(valid, sh, 0)
-    occ = v
+    return _compact_scan_loop(planes, valid, sh, fills,
+                              max_shift=valid.shape[1] - 1)
+
+
+def _compact_scan_loop(planes, valid, sh, fills, max_shift):
+    B, M = valid.shape
+    occ = valid.astype(jnp.int32)
     planes = [jnp.where(valid, pl, fl) for pl, fl in zip(planes, fills)]
     s = 1
-    while s < M - K + 1:  # max shift = holes of nb-1 full blocks = M - K
+    while s <= max_shift:
         def rl(x, fill):
             return jnp.concatenate(
                 [x[:, s:], jnp.full((B, s), fill, x.dtype)], axis=1

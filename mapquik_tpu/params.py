@@ -81,6 +81,11 @@ class Params:
                                      # position sort with a block-granular
                                      # log-shift compaction; bit-identical
                                      # output, adoption per in-situ delta
+    match_compact_scan: bool = False # sort-free head/last compactions in
+                                     # matching (ops/seeding.compact_scan):
+                                     # log-shift instead of two multi-operand
+                                     # row sorts; bit-identical output,
+                                     # adoption per in-situ delta
 
     def __post_init__(self):
         if self.k < 2:

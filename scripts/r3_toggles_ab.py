@@ -106,8 +106,10 @@ def main():
         ("base       ", p0),
         ("chain      ", dataclasses.replace(p0, chain_scan=True)),
         ("merge      ", dataclasses.replace(p0, seed_merge_scan=True)),
-        ("chain+merge", dataclasses.replace(p0, chain_scan=True,
-                                            seed_merge_scan=True)),
+        ("match      ", dataclasses.replace(p0, match_compact_scan=True)),
+        ("all-scan   ", dataclasses.replace(p0, chain_scan=True,
+                                            seed_merge_scan=True,
+                                            match_compact_scan=True)),
     ]
     fns, best, checks = {}, {}, {}
     for name, pv in variants:
