@@ -326,12 +326,21 @@ def compact_scan(planes, valid, fills):
     (non-decreasing along the row -> the binary log-shift is collision-free
     for ANY mask). Bit-identical to the rowsort-on-(pos|BIG)-key compaction
     idiom used across matching/chaining, as log2(M) elementwise passes
-    instead of a multi-operand sort."""
-    v = valid.astype(jnp.int32)
-    sh = jnp.cumsum(1 - v, axis=1) - (1 - v)  # exclusive hole count
-    sh = jnp.where(valid, sh, 0)
-    return _compact_scan_loop(planes, valid, sh, fills,
-                              max_shift=valid.shape[1] - 1)
+    instead of a multi-operand sort. Hole counts use a hand-rolled
+    Hillis-Steele shift-scan, NOT cumsum/associative_scan — scan primitives
+    composed with the surrounding sorts/gathers blow up this backend's
+    compile time (DESIGN.md cost model)."""
+    B, M = valid.shape
+    h = 1 - valid.astype(jnp.int32)
+    acc = h
+    s = 1
+    while s < M:
+        acc = acc + jnp.concatenate(
+            [jnp.zeros((B, s), jnp.int32), acc[:, :-s]], axis=1
+        )
+        s *= 2
+    sh = jnp.where(valid, acc - h, 0)  # exclusive hole count before me
+    return _compact_scan_loop(planes, valid, sh, fills, max_shift=M - 1)
 
 
 def _compact_scan_loop(planes, valid, sh, fills, max_shift):
