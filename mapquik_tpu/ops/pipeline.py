@@ -571,6 +571,7 @@ class Mapper:
                 try:
                     groups = [s for k, s in wave if k == "group"]
                     tails = [s for k, s in wave if k == "tail"]
+                    calls = [s for k, s in wave if k == "call"]
                     if serial_dispatch and len(groups) > 1:
                         for items in _run_wave(groups):
                             done_q.put(items)
@@ -579,6 +580,11 @@ class Mapper:
                             done_q.put(_run_group(*s))
                     for s in tails:
                         done_q.put(_run_tail(*s))
+                    for fn, resq in calls:
+                        try:
+                            resq.put((fn(), None))
+                        except BaseException as e:
+                            resq.put((None, e))
                 except BaseException as e:  # pragma: no cover - surfaced below
                     worker_err.append(e)
                     done_q.put(None)
@@ -644,6 +650,20 @@ class Mapper:
             for item, flat_h in zip(items, pulled):
                 yield from finalize(item, flat_h)
 
+        def _device_call(fn):
+            """Run fn (an upload + program dispatch) under the worker's serial
+            transfer/compute discipline while the worker is alive — an h2d
+            issued mid-wave from this thread stalls the device ~10x (probe3).
+            After worker shutdown the device is idle: call directly."""
+            if wt.is_alive():
+                resq: "_queue.Queue" = _queue.Queue(1)
+                jobs.put(("call", (fn, resq)))
+                res, err = resq.get()
+                if err is not None:
+                    raise err
+                return res
+            return fn()
+
         def finalize(item, flat_h):
             f_names, f_lens, flat, loci, rows_refs, lens_host, cap0, Lb = item
             # overflow retry (mirrors the index builder's doubled-cap retry,
@@ -677,10 +697,12 @@ class Mapper:
                 # per-block compaction cap (satellite repeats), which a bigger
                 # seed cap cannot fix — force the uncompacted path
                 last_pallas = attempt < 2 and cap < Lb
-                rflat = np.asarray(
-                    map_batch_flat(
-                        jnp.asarray(rbuf), jnp.asarray(rlens), self.index,
-                        self.ref_lens, p, cap, last_pallas,
+                rflat = _device_call(
+                    lambda c=cap, lp=last_pallas: np.asarray(
+                        map_batch_flat(
+                            jnp.asarray(rbuf), jnp.asarray(rlens), self.index,
+                            self.ref_lens, p, c, lp,
+                        )
                     )
                 )
                 flat_h[rows] = rflat[: rows.size]

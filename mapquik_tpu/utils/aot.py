@@ -96,6 +96,12 @@ def _key(name: str, args: Sequence, statics_key) -> str:
     h.update(jax.__version__.encode())
     h.update(getattr(dev, "device_kind", str(dev)).encode())
     h.update(_source_hash().encode())
+    # env-derived compile knobs that change the compiled kernel without
+    # changing program input/output shapes (ADVICE r3: a CBLK=4096 run must
+    # not hit the CBLK=2048 executable)
+    from ..ops import pallas_seeding as _ps
+
+    h.update(str(getattr(_ps, "_CBLK", 0)).encode())
     h.update(name.encode())
     h.update(repr(statics_key).encode())
     for leaf in jax.tree.leaves(tuple(args)):

@@ -32,6 +32,14 @@ for s in $STAGES; do
     bench)
       run_stage bench 3000 python bench.py
       ;;
+    express)
+      # <10-min window mode: cached inputs/index + warm AOT executables
+      run_stage express 900 env BENCH_EXPRESS=1 python bench.py
+      ;;
+    cblk)
+      # CBLK=4096 vs default A/B (child re-exec'd with MAPQUIK_CBLK; probe2)
+      run_stage cblk 3600 python scripts/r3_probe2.py cblk
+      ;;
     dsweep)
       # regenerated density sweep: honest 128-step caps should flatten the
       # round-2 power-of-two cliff (VERDICT item 5)
@@ -44,6 +52,19 @@ for s in $STAGES; do
       run_stage repeat 7200 python scripts/repeat_report.py \
         --preset maize --genome-mb 100 --depth 1.0 \
         --out experiments/repeat_stress_large.csv
+      ;;
+    roofline)
+      # per-stage GB/s vs measured ceiling + bare-v5e projection (VERDICT r3 #9)
+      run_stage roofline 3600 python scripts/r4_roofline.py
+      ;;
+    long64)
+      # 64 kb bin on-chip validation + timing (VERDICT r3 #6)
+      run_stage long64 3600 python scripts/r4_longreads.py
+      ;;
+    aotcold)
+      # cross-session AOT cold-start proof (VERDICT r3 #8); run twice for
+      # two relay phases via: rm /tmp/r3_battery/aotcold.done
+      run_stage aotcold 3600 python scripts/r4_aot_cold.py --tag "$(date +%H%M)"
       ;;
     chm13)
       # CHM13-scale rehearsal (VERDICT item 4) — longest; run explicitly

@@ -88,33 +88,40 @@ def main():
         log(f"{name}: {per:.2f} ms/256-read batch ({n_batches * B / best:.0f} reads/s)")
         return outs
 
+    CBLK = pallas_seeding._CBLK  # import-time constant (MAPQUIK_CBLK env)
     g4 = stage_groups(4)
-    outs4 = time_groups("G=4 (CBLK=1024)", 4, g4)
+    outs4 = time_groups(f"G=4 (CBLK={CBLK})", 4, g4)
     ref_flat = [np.asarray(o) for o in outs4]
+    import hashlib
+
+    chk = hashlib.md5(b"".join(a.tobytes() for a in ref_flat)).hexdigest()[:16]
+    log(f"g4 checksum {chk}")
 
     if "g8" in which:
         g8 = stage_groups(8)
-        time_groups("G=8 (CBLK=1024)", 8, g8)
+        time_groups(f"G=8 (CBLK={CBLK})", 8, g8)
 
     if "cblk" in which:
-        # widen the compaction kernel block: halo fraction 256/1024 -> 256/2048,
-        # and the post-kernel merge sort width halves
-        pallas_seeding._CBLK = 2048
-        pallas_seeding._WC = 2048 + pallas_seeding._H
-        # new shapes -> new jit specializations; clear caches to force re-trace
-        map_batch_flat_multi.clear_cache()
-        from mapquik_tpu.ops.pipeline import map_batch
-        from mapquik_tpu.ops.seeding import seed_batch
-        map_batch.clear_cache()
-        seed_batch.clear_cache()
-        pallas_seeding.seed_select_compact.clear_cache()
-        outs_c = time_groups("G=4 (CBLK=2048)", 4, g4)
-        same = all(
-            np.array_equal(np.asarray(a), b) for a, b in zip(outs_c, ref_flat)
+        # CBLK A/B: _CBLK and its derived block shapes (block_cap, _WC) are
+        # IMPORT-TIME constants, so the alternative width runs in a re-exec'd
+        # child with MAPQUIK_CBLK set (ADVICE r3: mutating the module global
+        # at runtime times the wrong kernel and corrupts later stages)
+        import subprocess
+
+        alt = os.environ.get("MAPQUIK_CBLK_ALT", "4096")
+        log(f"re-exec child with MAPQUIK_CBLK={alt} for the A/B")
+        env = os.environ.copy()
+        env["MAPQUIK_CBLK"] = alt
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "base"],
+            env=env, capture_output=True, text=True, timeout=1800,
         )
-        log(f"CBLK=2048 results identical to CBLK=1024: {same}")
-        pallas_seeding._CBLK = 1024
-        pallas_seeding._WC = 1024 + pallas_seeding._H
+        child_chk = None
+        for line in r.stderr.splitlines():
+            log(f"  [child] {line.split('] ', 1)[-1]}")
+            if "g4 checksum" in line:
+                child_chk = line.rsplit(" ", 1)[-1]
+        log(f"CBLK={alt} results identical to CBLK={CBLK}: {child_chk == chk}")
 
     if "h2d" in which:
         pk2 = np.random.default_rng(0).integers(0, 255, (4, B, L // 4),

@@ -124,6 +124,7 @@ def main():
     for k in range(5):
         log(f"{names[k]:8s} total {times[k]*1000:6.2f}  delta {(times[k]-prev)*1000:6.2f}")
         prev = times[k]
+    return names, times
 
 
 if __name__ == "__main__":

@@ -43,6 +43,25 @@ def test_disabled_by_env(monkeypatch):
     assert aot.cached_program("t_off", fn, (jnp.zeros(1),)) is fn
 
 
+def test_key_invalidation(monkeypatch):
+    """A source edit (new source hash) or a compile-affecting env knob
+    (MAPQUIK_CBLK — ADVICE r3) must change the cache key; equal inputs must
+    not."""
+    from mapquik_tpu.ops import pallas_seeding
+
+    args = (jnp.zeros((4, 8), jnp.int32),)
+    base = aot._key("t", args, ("s",))
+    assert aot._key("t", args, ("s",)) == base
+    assert aot._key("t", args, ("other",)) != base
+    assert aot._key("t2", args, ("s",)) != base
+    assert aot._key("t", (jnp.zeros((4, 16), jnp.int32),), ("s",)) != base
+    monkeypatch.setattr(aot, "_SOURCE_HASH", "deadbeefdeadbeef")
+    assert aot._key("t", args, ("s",)) != base, "source edit must invalidate"
+    monkeypatch.undo()
+    monkeypatch.setattr(pallas_seeding, "_CBLK", pallas_seeding._CBLK * 2)
+    assert aot._key("t", args, ("s",)) != base, "CBLK change must invalidate"
+
+
 _SUBPROC = r"""
 import os, sys
 sys.path.insert(0, "/root/repo")
