@@ -61,6 +61,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.mq_pack2_batch.restype = ctypes.c_int
+        lib.mq_pack2_batch_mixed.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.mq_pack2_batch_mixed.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -114,7 +121,9 @@ def pack2_rows(
 ) -> Optional[int]:
     """Fused batch assembly + 2-bit pack (native; see fastx.cpp mq_pack2_batch).
 
-    rows: per-read contiguous uint8 code arrays (None = empty row); lens int32
+    rows: per-read contiguous uint8 code arrays OR raw `bytes` of ASCII bases
+    (LUT-encoded inline in C — bit-identical to encode_fast then packing;
+    None = empty row); lens int32
     [B]; writes p2 into out_p2 [B, L//4] and the in-read non-ACGT mask into
     out_mask [B, L//8] — bit-identical to ops/seeding.pack2_host(codes, lens)
     over a 4-padded [B, L] buffer (padding is NOT masked; unpack2 reconstructs
@@ -126,18 +135,39 @@ def pack2_rows(
         return None
     B = len(rows)
     addrs = np.zeros(B, dtype=np.uint64)
+    flags = np.zeros(B, dtype=np.uint8)
+    keepalive = []
+    any_raw = False
     for i, r in enumerate(rows):
-        if r is not None and r.size:
+        if isinstance(r, (bytes, bytearray)):
+            # RAW ASCII bases: LUT-encoded inline in C (zero Python-side
+            # encode pass); keep the zero-copy view alive through the call
+            if len(r):
+                v = np.frombuffer(r, dtype=np.uint8)
+                keepalive.append(v)
+                addrs[i] = v.ctypes.data
+                flags[i] = 1
+                any_raw = True
+        elif r is not None and r.size:
             addrs[i] = r.ctypes.data
-    rc = lib.mq_pack2_batch(
-        addrs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        np.ascontiguousarray(lens, dtype=np.int32).ctypes.data_as(
-            ctypes.POINTER(ctypes.c_int32)
-        ),
-        B, L,
-        out_p2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        out_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-    )
+    lens_c = np.ascontiguousarray(lens, dtype=np.int32)
+    if any_raw:
+        rc = lib.mq_pack2_batch_mixed(
+            addrs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            lens_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            B, L,
+            out_p2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+    else:
+        rc = lib.mq_pack2_batch(
+            addrs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            lens_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            B, L,
+            out_p2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
     return None if rc < 0 else rc
 
 

@@ -690,7 +690,10 @@ class Mapper:
                 )
                 rbuf = np.full((lens_host.shape[0], Lb), 4, dtype=np.uint8)
                 for ri, r in enumerate(rows):
-                    rbuf[ri, : lens_host[r]] = rows_refs[r][: lens_host[r]]
+                    row = rows_refs[r]
+                    if not isinstance(row, np.ndarray):  # raw bytes row
+                        row = encode_fast(row)
+                    rbuf[ri, : lens_host[r]] = row[: lens_host[r]]
                 rlens = np.zeros_like(lens_host)
                 rlens[: rows.size] = lens_host[rows]
                 # attempt >= 2 or cap maxed: the overflow may be the Pallas
@@ -714,8 +717,18 @@ class Mapper:
         def run():
             n_truncated = 0
             for name, seq in reads:
-                codes = seq if isinstance(seq, np.ndarray) else encode_fast(seq)
-                Lr = codes.shape[0]
+                if isinstance(seq, np.ndarray):
+                    codes = seq
+                    Lr = codes.shape[0]
+                elif use_native_pack:
+                    # RAW bytes: the native packer LUT-encodes inline at pack
+                    # time (bytes.translate costs ~0.15-0.4 ms per 24 kb read
+                    # on this host — the largest single e2e host cost)
+                    codes = seq.encode() if isinstance(seq, str) else seq
+                    Lr = len(codes)
+                else:
+                    codes = encode_fast(seq)
+                    Lr = codes.shape[0]
                 if Lr > p.max_read_len:
                     if n_truncated == 0:
                         import sys
@@ -729,7 +742,9 @@ class Mapper:
                     n_truncated += 1
                     codes = codes[: p.max_read_len]
                     Lr = p.max_read_len
-                if codes.dtype != np.uint8 or not codes.flags.c_contiguous:
+                if isinstance(codes, np.ndarray) and (
+                    codes.dtype != np.uint8 or not codes.flags.c_contiguous
+                ):
                     codes = np.ascontiguousarray(codes, dtype=np.uint8)
                 bn = next(b for b in state if Lr <= b.L)
                 bn.rows.append(codes)

@@ -254,6 +254,112 @@ int fx_parse(const char* path, int n_threads, FxResult* out) {
 // address 0 = empty row. lens: [B] int32, lens[b] <= L, L % 8 == 0.
 // Returns -1 on error, else 1 if any mask bit is set (batch contains an
 // ambiguous base), 0 otherwise.
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
+
+// bit-reversal within a byte: the mask format puts input byte i+k at bit
+// (7-k) of mask byte (i>>3) (numpy packbits big-endian), but vector
+// movemask puts byte k at bit k
+static const struct Bitrev8 {
+    uint8_t t[256];
+    Bitrev8() {
+        for (int i = 0; i < 256; i++) {
+            uint8_t r = 0;
+            for (int b = 0; b < 8; b++) r |= (uint8_t)(((i >> b) & 1) << (7 - b));
+            t[i] = r;
+        }
+    }
+} g_bitrev;
+
+static uint8_t pack2_row(const uint8_t* row, int32_t len, int32_t L,
+                         uint8_t* pp, uint8_t* mm, bool raw) {
+    // raw=true: row holds ASCII bases, LUT-encoded inline (bit-identical to
+    // oracle _ENCODE_LUT then packing) — removes the per-read Python-side
+    // encode pass (~0.15-0.4 ms per 24 kb read on this host, the single
+    // largest end-to-end host cost). raw=false: row holds codes 0..4.
+    uint8_t any_n = 0;
+    int32_t i = 0;
+#if defined(__AVX512BW__)
+    // vector path: 64 bases per iteration — classify (case-folded compares
+    // for raw, c&3 / c>=4 for codes), 2-bit pack via maddubs(1,4) +
+    // madd(1,16) + epi32->epi8 narrowing, invalid bitmask via movepi8_mask
+    // with per-byte bit reversal. ~10x the scalar loop on this host; the
+    // scalar code below remains the tail + non-AVX512 fallback.
+    uint64_t anyinv = 0;
+    const __m512i vcase = _mm512_set1_epi8(0x20);
+    const __m512i v1 = _mm512_set1_epi8(1), v2 = _mm512_set1_epi8(2),
+                  v3 = _mm512_set1_epi8(3);
+    const __m512i mul14 = _mm512_set1_epi16(0x0401);   // bytes {1,4} LSB-first
+    const __m512i mul116 = _mm512_set1_epi32(0x00100001);  // u16s {1,16}
+    int32_t len64 = len & ~63;
+    for (; i < len64; i += 64) {
+        __m512i v = _mm512_loadu_si512((const void*)(row + i));
+        __m512i code;
+        uint64_t inv;
+        if (raw) {
+            __m512i f = _mm512_or_si512(v, vcase);
+            __mmask64 mA = _mm512_cmpeq_epi8_mask(f, _mm512_set1_epi8('a'));
+            __mmask64 mC = _mm512_cmpeq_epi8_mask(f, _mm512_set1_epi8('c'));
+            __mmask64 mG = _mm512_cmpeq_epi8_mask(f, _mm512_set1_epi8('g'));
+            __mmask64 mT = _mm512_cmpeq_epi8_mask(f, _mm512_set1_epi8('t'));
+            code = _mm512_maskz_mov_epi8(mC, v1);
+            code = _mm512_mask_mov_epi8(code, mG, v2);
+            code = _mm512_mask_mov_epi8(code, mT, v3);
+            inv = ~(uint64_t)(mA | mC | mG | mT);
+        } else {
+            code = _mm512_and_si512(v, v3);  // c&3 (code 4 packs as 0)
+            inv = (uint64_t)_mm512_cmpge_epu8_mask(v, _mm512_set1_epi8(4));
+        }
+        __m512i p16 = _mm512_maddubs_epi16(code, mul14);   // c0 + 4*c1
+        __m512i p32 = _mm512_madd_epi16(p16, mul116);      // + 16*c2 + 64*c3
+        __m128i packed = _mm512_cvtepi32_epi8(p32);        // 16 output bytes
+        _mm_storeu_si128((__m128i*)(pp + (i >> 2)), packed);
+        anyinv |= inv;
+        uint8_t* mo = mm + (i >> 3);
+        for (int j = 0; j < 8; j++)
+            mo[j] = g_bitrev.t[(inv >> (8 * j)) & 0xFF];
+    }
+    any_n |= (uint8_t)(anyinv != 0);
+#endif
+    int32_t len8 = len & ~7;
+    for (; i < len8; i += 8) {
+        const uint8_t* s = row + i;
+        uint8_t c[8];
+        if (raw)
+            for (int k = 0; k < 8; k++) c[k] = g_code[s[k]];
+        else
+            std::memcpy(c, s, 8);
+        pp[i >> 2] = (uint8_t)((c[0] & 3) | ((c[1] & 3) << 2) |
+                               ((c[2] & 3) << 4) | ((c[3] & 3) << 6));
+        pp[(i >> 2) + 1] = (uint8_t)((c[4] & 3) | ((c[5] & 3) << 2) |
+                                     ((c[6] & 3) << 4) | ((c[7] & 3) << 6));
+        uint8_t m = 0;
+        for (int k = 0; k < 8; k++) m |= (uint8_t)((c[k] >= 4) << (7 - k));
+        mm[i >> 3] = m;
+        any_n |= m;
+    }
+    if (i < L) {
+        // partial group: remaining bases, then zero bits for padding
+        uint8_t pb0 = 0, pb1 = 0, m = 0;
+        for (int k = 0; k < 8 && i + k < len; k++) {
+            uint8_t c = raw ? g_code[row[i + k]] : row[i + k];
+            if (k < 4) pb0 |= (uint8_t)((c & 3) << (2 * k));
+            else pb1 |= (uint8_t)((c & 3) << (2 * (k - 4)));
+            m |= (uint8_t)((c >= 4) << (7 - k));
+        }
+        pp[i >> 2] = pb0;
+        pp[(i >> 2) + 1] = pb1;
+        mm[i >> 3] = m;
+        any_n |= m;
+        i += 8;
+        // rest of the row: p2 bits 0, mask bits 0 (padding comes from lens)
+        std::memset(pp + (i >> 2), 0, (size_t)((L / 4) - (i >> 2)));
+        std::memset(mm + (i >> 3), 0, (size_t)((L / 8) - (i >> 3)));
+    }
+    return any_n;
+}
+
 int mq_pack2_batch(const uint64_t* rows, const int32_t* lens, int32_t B,
                    int32_t L, uint8_t* p2, uint8_t* mask) {
     if (L % 8) return -1;
@@ -263,39 +369,29 @@ int mq_pack2_batch(const uint64_t* rows, const int32_t* lens, int32_t B,
         const uint8_t* row = (const uint8_t*)(uintptr_t)rows[b];
         int32_t len = row ? lens[b] : 0;
         if (len > L) len = L;
-        uint8_t* pp = p2 + (int64_t)b * p2w;
-        uint8_t* mm = mask + (int64_t)b * mw;
-        int32_t i = 0;
-        int32_t len8 = len & ~7;
-        for (; i < len8; i += 8) {
-            const uint8_t* c = row + i;
-            pp[i >> 2] = (uint8_t)((c[0] & 3) | ((c[1] & 3) << 2) |
-                                   ((c[2] & 3) << 4) | ((c[3] & 3) << 6));
-            pp[(i >> 2) + 1] = (uint8_t)((c[4] & 3) | ((c[5] & 3) << 2) |
-                                         ((c[6] & 3) << 4) | ((c[7] & 3) << 6));
-            uint8_t m = 0;
-            for (int k = 0; k < 8; k++) m |= (uint8_t)((c[k] >= 4) << (7 - k));
-            mm[i >> 3] = m;
-            any_n |= m;
-        }
-        if (i < L) {
-            // partial group: remaining bases, then zero bits for padding
-            uint8_t pb0 = 0, pb1 = 0, m = 0;
-            for (int k = 0; k < 8 && i + k < len; k++) {
-                uint8_t c = row[i + k];
-                if (k < 4) pb0 |= (uint8_t)((c & 3) << (2 * k));
-                else pb1 |= (uint8_t)((c & 3) << (2 * (k - 4)));
-                m |= (uint8_t)((c >= 4) << (7 - k));
-            }
-            pp[i >> 2] = pb0;
-            pp[(i >> 2) + 1] = pb1;
-            mm[i >> 3] = m;
-            any_n |= m;
-            i += 8;
-            // rest of the row: p2 bits 0, mask bits 0 (padding comes from lens)
-            std::memset(pp + (i >> 2), 0, (size_t)(p2w - (i >> 2)));
-            std::memset(mm + (i >> 3), 0, (size_t)(mw - (i >> 3)));
-        }
+        any_n |= pack2_row(row, len, L, p2 + (int64_t)b * p2w,
+                           mask + (int64_t)b * mw, false);
+    }
+    return any_n ? 1 : 0;
+}
+
+// mq_pack2_batch_mixed — as mq_pack2_batch, but rows[b] with flags[b]=1 hold
+// RAW ASCII base bytes, LUT-encoded inline (A/a=0 C/c=1 G/g=2 T/t=3 other=4,
+// matching the parser's encoding and the Python oracle's _ENCODE_LUT).
+// Lets the streaming Mapper feed read bytes straight from the input with no
+// per-read Python encode pass at all.
+int mq_pack2_batch_mixed(const uint64_t* rows, const int32_t* lens,
+                         const uint8_t* flags, int32_t B, int32_t L,
+                         uint8_t* p2, uint8_t* mask) {
+    if (L % 8) return -1;
+    int64_t p2w = L / 4, mw = L / 8;
+    uint8_t any_n = 0;
+    for (int32_t b = 0; b < B; b++) {
+        const uint8_t* row = (const uint8_t*)(uintptr_t)rows[b];
+        int32_t len = row ? lens[b] : 0;
+        if (len > L) len = L;
+        any_n |= pack2_row(row, len, L, p2 + (int64_t)b * p2w,
+                           mask + (int64_t)b * mw, flags[b] != 0);
     }
     return any_n ? 1 : 0;
 }

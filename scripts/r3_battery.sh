@@ -47,6 +47,16 @@ for s in $STAGES; do
       [ -e "$OUT/dsweep.done" ] && grep -q reads_per_s "$OUT/dsweep.out" && \
         cp "$OUT/dsweep.out" experiments/d_sweep_v5e.csv && log "dsweep: artifact updated"
       ;;
+    ksweep)
+      run_stage ksweep 3600 python scripts/sweep.py --axis k --genome-mb 8 --reads 512
+      [ -e "$OUT/ksweep.done" ] && grep -q reads_per_s "$OUT/ksweep.out" && \
+        cp "$OUT/ksweep.out" experiments/k_sweep_v5e.csv && log "ksweep: artifact updated"
+      ;;
+    lsweep)
+      run_stage lsweep 3600 python scripts/sweep.py --axis l --genome-mb 8 --reads 512
+      [ -e "$OUT/lsweep.done" ] && grep -q reads_per_s "$OUT/lsweep.out" && \
+        cp "$OUT/lsweep.out" experiments/l_sweep_v5e.csv && log "lsweep: artifact updated"
+      ;;
     repeat)
       # maize-scale repeat stress (VERDICT item 7): >=100 MB, >=5000 reads
       run_stage repeat 7200 python scripts/repeat_report.py \

@@ -129,3 +129,30 @@ def test_cli_path_uses_native_and_matches_python(tmp_path):
     via_python = sorted(mapper.map_reads(fastx.iter_fastx(path)))
     assert via_native == via_python
     assert len(via_native) >= 10
+
+
+def test_pack2_rows_raw_and_mixed_parity():
+    """Raw-bytes rows (LUT-encoded inline in C) pack bit-identically to
+    pre-encoded code rows, including lowercase/N/invalid bytes and mixed
+    raw/encoded batches (the streaming Mapper feeds raw read bytes when the
+    native packer is available)."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    B, L = 32, 2048
+    rng = np.random.default_rng(7)
+    alphabet = np.frombuffer(b"ACGTacgtNnX-", dtype=np.uint8)
+    raws = [bytes(rng.choice(alphabet, int(rng.integers(1, L)))) for _ in range(B)]
+    raws[3] = b""  # empty row
+    lens = np.array([len(r) for r in raws], np.int32)
+    codes = [np.frombuffer(r, np.uint8).copy() if not len(r) else encode(r)
+             for r in raws]
+    outs = []
+    for rows in (codes, raws, [raws[i] if i % 2 else codes[i] for i in range(B)]):
+        p2 = np.zeros((B, L // 4), np.uint8)
+        mask = np.zeros((B, L // 8), np.uint8)
+        rc = native.pack2_rows(rows, lens, L, p2, mask)
+        assert rc == 1  # batch contains masked bases
+        outs.append((p2, mask))
+    for p2, mask in outs[1:]:
+        np.testing.assert_array_equal(outs[0][0], p2)
+        np.testing.assert_array_equal(outs[0][1], mask)
