@@ -29,6 +29,7 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from ..oracle.pyref import encode
+from ..io import native as _native_enc
 from ..ops import seeding
 from ..ops.seeding import seed_batch
 from ..params import Params
@@ -253,7 +254,8 @@ def build_index(
     cols = {k: [] for k in ("h1", "h2", "rid", "start", "end", "off", "rc")}
     for rid, (name, seq) in enumerate(contigs):
         names.append(name)
-        codes = encode(seq) if not isinstance(seq, np.ndarray) else seq
+        codes = (seq if isinstance(seq, np.ndarray) else
+                 _native_enc.encode_any(seq))
         lengths.append(codes.shape[0])
         h1, h2, st, en, off, rv = extract_contig_kminmers(codes, p, batch_windows, verbose)
         cols["h1"].append(h1)

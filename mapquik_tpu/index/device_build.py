@@ -36,6 +36,7 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from ..oracle.pyref import encode
+from ..io import native as _native_enc
 from ..params import Params
 from .build import RefMeta, plan_windows
 from .hashtable import BUCKET, HashIndex
@@ -242,7 +243,8 @@ def build_index_device(
     lengths: List[int] = []
     L = 64
     for name, seq in contigs:
-        codes = encode(seq) if not isinstance(seq, np.ndarray) else seq
+        codes = (seq if isinstance(seq, np.ndarray) else
+                 _native_enc.encode_any(seq))
         names.append(name)
         lengths.append(codes.shape[0])
         wins = plan_windows(codes, p)

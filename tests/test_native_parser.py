@@ -156,3 +156,15 @@ def test_pack2_rows_raw_and_mixed_parity():
     for p2, mask in outs[1:]:
         np.testing.assert_array_equal(outs[0][0], p2)
         np.testing.assert_array_equal(outs[0][1], mask)
+
+
+def test_native_encode_bytes_parity():
+    """Bulk native encode == oracle LUT encode for every byte class (numpy's
+    LUT take runs at ~20-40 MB/s on this host; contig encodes go native)."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    seq = bytes(rng.integers(0, 256, 100_003, dtype=np.uint8))
+    np.testing.assert_array_equal(native.encode_bytes(seq), encode(seq))
+    assert native.encode_bytes(b"").size == 0
+    np.testing.assert_array_equal(native.encode_any("ACgtN"), encode(b"ACgtN"))
