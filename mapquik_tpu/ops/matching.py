@@ -27,7 +27,7 @@ import numpy as np
 
 from ..index.lookup import ProbeResult
 from ..params import Params
-from .seeding import SeedBatch, _compact_positions, compact_scan, rowsort
+from .seeding import SeedBatch, _compact_positions, rowsort
 
 _BIG_I32 = np.int32(0x7FFFFFFF)
 
@@ -103,22 +103,12 @@ def find_matches(sb: SeedBatch, pr: ProbeResult, p: Params) -> MatchBatch:
     pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
     hkey = jnp.where(head, pos, _BIG_I32)
     lkey = jnp.where(last, pos, _BIG_I32)
-    if getattr(p, "match_compact_scan", False):
-        # sort-free: a selection compaction is a stable left-shift past the
-        # holes (seeding.compact_scan) — bit-identical to the sorted idiom
-        hpos, rc_h, qs_h, rs_h, re_h, rid_h = compact_scan(
-            [hkey, rc_new.astype(jnp.int32), sb.start, pr.start, pr.end,
-             pr.rid],
-            head, [_BIG_I32, 0, 0, 0, 0, 0],
-        )
-        lpos, qe_l, rs_l, re_l = compact_scan(
-            [lkey, sb.end, pr.start, pr.end], last, [_BIG_I32, 0, 0, 0]
-        )
-    else:
-        hpos, rc_h, qs_h, rs_h, re_h, rid_h = rowsort(
-            [hkey, rc_new.astype(jnp.int32), sb.start, pr.start, pr.end, pr.rid]
-        )
-        lpos, qe_l, rs_l, re_l = rowsort([lkey, sb.end, pr.start, pr.end])
+    # (a sort-free log-shift compaction here was A/B'd on v5e and REJECTED:
+    # +0.07 ms = noise; experiments/toggles_ab_v5e.txt, DESIGN.md rejected list)
+    hpos, rc_h, qs_h, rs_h, re_h, rid_h = rowsort(
+        [hkey, rc_new.astype(jnp.int32), sb.start, pr.start, pr.end, pr.rid]
+    )
+    lpos, qe_l, rs_l, re_l = rowsort([lkey, sb.end, pr.start, pr.end])
     n_seg = jnp.sum(head.astype(jnp.int32), axis=1)
     rc = rc_h.astype(bool)
     mb = MatchBatch(

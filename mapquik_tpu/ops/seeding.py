@@ -292,81 +292,6 @@ def rowsort(operands, num_keys: int = 1, is_stable: bool = False):
     return out[0] if single else out
 
 
-def _merge_block_prefixes(planes, valid, K, fills):
-    """Stable compaction of per-block valid PREFIXES to the row prefix,
-    without a sort: the seeding kernel emits each _CBLK block's selected
-    entries as a contiguous prefix of its K output slots, already in global
-    position order across blocks — so the cross-block merge only has to
-    delete the inter-block padding. Every valid element's left-shift equals
-    the hole count of the blocks before it (block-granular, non-decreasing
-    along the row), so the binary log-shift is collision-free (the same
-    invariant as the kernel's in-VMEM _compact_logshift, mirrored here in
-    XLA: jnp.concatenate shifts instead of pltpu.roll).
-
-    Exception safety: a block-overflow MARKER inside a prefix makes that
-    block's holes non-trailing and this merge leaves a gap — but any marker
-    also raises SeedBatch.overflow (mn_true > cap), which forces the caller's
-    exact-path re-dispatch, so a gapped result is never emitted.
-
-    planes: list of [B, M] arrays (M = nblocks * K); valid: bool [B, M];
-    fills: per-plane hole fill values. Returns compacted planes."""
-    B, M = valid.shape
-    nb = M // K
-    v = valid.astype(jnp.int32)
-    holes = np.int32(K) - v.reshape(B, nb, K).sum(axis=2)
-    S = jnp.cumsum(holes, axis=1) - holes  # exclusive: holes before my block
-    sh = jnp.broadcast_to(S[:, :, None], (B, nb, K)).reshape(B, M)
-    # max shift = holes of nb-1 full blocks = M - K
-    return _compact_scan_loop(planes, valid, sh, fills, max_shift=M - K)
-
-
-def compact_scan(planes, valid, fills):
-    """General stable compaction of the valid-masked elements of each row to
-    the row prefix, sort-free: per-element left-shift = holes before it
-    (non-decreasing along the row -> the binary log-shift is collision-free
-    for ANY mask). Bit-identical to the rowsort-on-(pos|BIG)-key compaction
-    idiom used across matching/chaining, as log2(M) elementwise passes
-    instead of a multi-operand sort. Hole counts use a hand-rolled
-    Hillis-Steele shift-scan, NOT cumsum/associative_scan — scan primitives
-    composed with the surrounding sorts/gathers blow up this backend's
-    compile time (DESIGN.md cost model)."""
-    B, M = valid.shape
-    h = 1 - valid.astype(jnp.int32)
-    acc = h
-    s = 1
-    while s < M:
-        acc = acc + jnp.concatenate(
-            [jnp.zeros((B, s), jnp.int32), acc[:, :-s]], axis=1
-        )
-        s *= 2
-    sh = jnp.where(valid, acc - h, 0)  # exclusive hole count before me
-    return _compact_scan_loop(planes, valid, sh, fills, max_shift=M - 1)
-
-
-def _compact_scan_loop(planes, valid, sh, fills, max_shift):
-    B, M = valid.shape
-    occ = valid.astype(jnp.int32)
-    planes = [jnp.where(valid, pl, fl) for pl, fl in zip(planes, fills)]
-    s = 1
-    while s <= max_shift:
-        def rl(x, fill):
-            return jnp.concatenate(
-                [x[:, s:], jnp.full((B, s), fill, x.dtype)], axis=1
-            )
-
-        move = (occ != 0) & ((sh & s) != 0)
-        movin = rl(move.astype(jnp.int32), 0) != 0
-        keep = (occ != 0) & ~move
-        planes = [
-            jnp.where(movin, rl(pl, fl), jnp.where(keep, pl, fl))
-            for pl, fl in zip(planes, fills)
-        ]
-        sh = jnp.where(movin, rl(sh, 0) - s, jnp.where(keep, sh, 0))
-        occ = movin.astype(jnp.int32) + keep.astype(jnp.int32)
-        s *= 2
-    return planes
-
-
 def _compact_positions(sel: jax.Array, cap: int):
     """Positions of True entries of sel [B, L], compacted to [B, cap] (ascending);
     invalid slots hold 0. Returns (positions i32 [B, cap], count i32 [B]).
@@ -421,18 +346,10 @@ def _minimizers_compact_pallas(codes, lengths, p: Params, cap: int):
         interpret=pallas_seeding._INTERPRET,
     )
     # pse is both the packed coords and the position sort key (pos<<16 is the
-    # high half; empty/marker fills sort last)
-    if getattr(p, "seed_merge_scan", False):
-        # blocks are already position-ordered valid prefixes: delete the
-        # inter-block padding with a log-shift instead of sorting [B, nbK]
-        ps, ch = _merge_block_prefixes(
-            [pse, canon],
-            valid=pse < _MARKER,
-            K=pse.shape[1] // (L // pallas_seeding._CBLK),
-            fills=[_BIG_I32, np.uint32(0)],
-        )
-    else:
-        ps, ch = rowsort([pse, canon])
+    # high half; empty/marker fills sort last). (A sort-free cross-block
+    # log-shift merge was A/B'd on v5e and REJECTED: -0.07 ms = noise;
+    # experiments/toggles_ab_v5e.txt, DESIGN.md rejected list.)
+    ps, ch = rowsort([pse, canon])
     nbK = ps.shape[1]
     take = min(cap, nbK)
     psc, chc = ps[:, :take], ch[:, :take]

@@ -70,22 +70,16 @@ class Params:
                                      # d=0.01 — 512 sat at +1.3 sigma and fired
                                      # the doubled-cap retry/recompile on real
                                      # builds; 1024 is +25 sigma)
-    chain_scan: bool = False         # gather-free chaining (ops/chaining v2):
+    chain_scan: bool = True          # gather-free chaining (ops/chaining v2):
                                      # segment scans broadcast bucket summaries
                                      # instead of 5 per-row gathers; bit-identical
-                                     # output (differential-tested), adopted or
-                                     # not per measured in-situ delta
-    seed_merge_scan: bool = False    # sort-free cross-block seed merge
-                                     # (ops/seeding._merge_block_prefixes):
-                                     # replace the post-kernel [B, nblocks*K]
-                                     # position sort with a block-granular
-                                     # log-shift compaction; bit-identical
-                                     # output, adoption per in-situ delta
-    match_compact_scan: bool = False # sort-free head/last compactions in
-                                     # matching (ops/seeding.compact_scan):
-                                     # log-shift instead of two multi-operand
-                                     # row sorts; bit-identical output,
-                                     # adoption per in-situ delta
+                                     # output (differential-tested). ADOPTED on
+                                     # the in-situ v5e A/B: 9.33 -> 6.37 ms/batch
+                                     # (-32%, experiments/toggles_ab_v5e.txt).
+                                     # False = the round-2 gather formulation
+                                     # (kept as the differential foil).
+    # seed_merge_scan / match_compact_scan were REJECTED on the same A/B
+    # (-0.07 ms / +0.07 ms = noise) and deleted; see DESIGN.md's rejected list.
 
     def __post_init__(self):
         if self.k < 2:

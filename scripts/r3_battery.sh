@@ -10,7 +10,7 @@ set -u
 cd /root/repo
 OUT=/tmp/r3_battery
 mkdir -p "$OUT"
-STAGES=${@:-"ab bench dsweep repeat"}
+STAGES=${@:-"express bench dsweep repeat"}
 
 log() { echo "[battery $(date +%H:%M:%S)] $*" | tee -a "$OUT/battery.log"; }
 
@@ -26,9 +26,8 @@ run_stage() { # name timeout cmd...
 
 for s in $STAGES; do
   case $s in
-    ab)
-      run_stage ab 3600 python scripts/r3_toggles_ab.py
-      ;;
+    # (the `ab` stage ran on 08-18 — experiments/toggles_ab_v5e.txt; the toggle
+    # scripts were deleted once the decisions landed in DESIGN.md)
     bench)
       run_stage bench 3000 python bench.py
       ;;

@@ -17,10 +17,13 @@ from mapquik_tpu.index.build import build_index
 import jax.numpy as jnp
 
 
+# base = the gather formulation (the foil); chain_scan=True is the adopted
+# default (experiments/toggles_ab_v5e.txt)
 P = Params(
     k=5, l=17, density=0.05,
     ref_window=1 << 14, ref_halo=1 << 12, ref_window_minimizers=1 << 12,
     max_read_len=1 << 13, max_minimizers=1 << 10, batch_size=32,
+    chain_scan=False,
 )
 
 

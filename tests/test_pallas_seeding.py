@@ -131,67 +131,3 @@ def test_block_boundary_carries():
         span = slice(b - l, min(b + l, L))
         np.testing.assert_array_equal(key_k[:, span], key_ref[:, span])
     np.testing.assert_array_equal(canon_k[valid_ref], canon_ref[valid_ref])
-
-
-class TestSeedMergeScan:
-    """Sort-free cross-block merge (Params.seed_merge_scan +
-    seeding._merge_block_prefixes) must be bit-identical to the rowsort
-    merge on the compacted kernel path, including the overflow flag."""
-
-    @pytest.fixture(autouse=True)
-    def force_interpret(self):
-        from mapquik_tpu.ops import pallas_seeding
-
-        pallas_seeding._INTERPRET = True
-        yield
-        pallas_seeding._INTERPRET = False
-        jax.clear_caches()
-
-    def test_matches_sort_merge_multiblock(self):
-        import dataclasses
-
-        from mapquik_tpu.ops import pallas_seeding
-        from mapquik_tpu.ops.seeding import seed_batch
-
-        rng = np.random.default_rng(42)
-        B, L = 32, 4 * pallas_seeding._CBLK  # several blocks per row
-        base = Params(k=7, l=17, density=0.02, max_read_len=L,
-                      max_minimizers=1024)
-        codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
-        codes[0, 50:90] = 4                         # N run
-        codes[1, 3000:3100] = codes[1, 3000]        # homopolymer run
-        lens = np.full(B, L, np.int32)
-        lens[2] = pallas_seeding._CBLK + 37         # partial second block
-        lens[3] = 0
-        a = seed_batch(jnp.asarray(codes), jnp.asarray(lens),
-                       dataclasses.replace(base, seed_merge_scan=True),
-                       1024, use_pallas=True)
-        b = seed_batch(jnp.asarray(codes), jnp.asarray(lens), base, 1024,
-                       use_pallas=True)
-        n = np.asarray(b.n)
-        np.testing.assert_array_equal(np.asarray(a.n), n)
-        np.testing.assert_array_equal(np.asarray(a.overflow),
-                                      np.asarray(b.overflow))
-        for field in ("h1", "h2", "start", "end", "rev"):
-            x, y = np.asarray(getattr(a, field)), np.asarray(getattr(b, field))
-            for i in range(B):
-                np.testing.assert_array_equal(
-                    x[i, : n[i]], y[i, : n[i]], err_msg=f"{field} row {i}"
-                )
-
-    def test_marker_still_flags_overflow(self):
-        import dataclasses
-
-        from mapquik_tpu.ops import pallas_seeding
-        from mapquik_tpu.ops.seeding import seed_batch
-
-        B, L = 32, pallas_seeding._CBLK
-        p = Params(k=4, l=4, density=0.5, use_hpc=False, max_read_len=L,
-                   max_minimizers=L, ref_window_minimizers=L,
-                   seed_merge_scan=True)
-        rng = np.random.default_rng(1)
-        codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
-        lens = np.full(B, L, np.int32)
-        sb = seed_batch(jnp.asarray(codes), jnp.asarray(lens), p, L,
-                        use_pallas=True)
-        assert np.asarray(sb.overflow).all()
