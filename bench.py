@@ -102,25 +102,33 @@ def _tpu_available() -> bool:
 
 def _cached_inputs(genome_mb, n_reads):
     """Pre-simulated inputs cached on disk so bench time is spent measuring,
-    not simulating (round-3 verdict item 7). Cache key = the full simulation
-    parameter set; fixed seeds make the cached and fresh inputs bit-identical,
-    so BOTH express and full mode can use this safely."""
+    not simulating (round-3 verdict item 7). Fixed seeds make the cached and
+    fresh inputs bit-identical, so BOTH express and full mode can use this
+    safely. The FULL simulation parameter set is stored inside the pickle and
+    validated on load (ADVICE r4: a filename-only key silently served stale
+    inputs if the hardcoded sim constants or the simulator changed)."""
     import pickle
 
+    sim_params = dict(
+        genome_mb=genome_mb, n_reads=n_reads, genome_seed=11, read_seed=12,
+        n_contigs=4, mean_len=24_000, accuracy=0.99, sim_version=1,
+    )
     d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
     path = os.path.join(d, f"inputs_g{genome_mb}_r{n_reads}_s11_12.pkl")
     if os.path.exists(path):
         with open(path, "rb") as f:
-            genome, reads = pickle.load(f)
-        log(f"loaded cached inputs ({path})")
-        return genome, reads
+            payload = pickle.load(f)
+        if isinstance(payload, dict) and payload.get("params") == sim_params:
+            log(f"loaded cached inputs ({path})")
+            return payload["genome"], payload["reads"]
+        log(f"cached inputs stale (params mismatch at {path}); regenerating")
     from mapquik_tpu.eval.simulate import markov_genome, simulate_reads
 
     genome = markov_genome(genome_mb * 1_000_000, seed=11, n_contigs=4)
     reads = simulate_reads(genome, n_reads, mean_len=24_000, accuracy=0.99, seed=12)
     os.makedirs(d, exist_ok=True)
     with open(path, "wb") as f:
-        pickle.dump((genome, reads), f)
+        pickle.dump({"params": sim_params, "genome": genome, "reads": reads}, f)
     log("simulated + cached inputs")
     return genome, reads
 
@@ -160,7 +168,12 @@ def main():
     # budget even when the remote compile relay is in a slow phase (observed
     # variance: same program 9s..300s); BENCH_GENOME_MB=32+ for bigger runs
     genome_mb = int(os.environ.get("BENCH_GENOME_MB", "16"))
-    n_reads = int(os.environ.get("BENCH_READS", "4096"))
+    # 16384 reads (64 batches): the timed map pass ends in ONE tiny d2h pull
+    # whose fixed ~30-130 ms tunnel latency is workload-independent — at 4096
+    # reads it taxed the headline ~25% (gsweep r5: pass 153 ms = 16x6.4 ms
+    # compute + ~50 ms pull, flat across G=4/8/16), which the reference's
+    # 1.49M-read measurement never pays. 64 batches amortize it to ~3%.
+    n_reads = int(os.environ.get("BENCH_READS", "16384"))
     B = int(os.environ.get("BENCH_BATCH", "256"))
     p = Params(
         k=7, l=31, density=0.01,  # human-scale headline params (table1.sh k=7 l=31 d=0.01)
@@ -175,7 +188,33 @@ def main():
     log(f"device {jax.devices()[0]}; genome {genome_mb}MB, {n_reads} reads, B={B}"
         + (" [express]" if express else ""))
     genome, reads = _cached_inputs(genome_mb, n_reads)
-    log("genome+reads ready; building index")
+
+    # pack + STAGE all batches BEFORE anything executes a program: uploads in
+    # the pre-execution transfer mode run at GB/s, while any upload after the
+    # first executable runs costs ~24 ms/call + ~24-35 MB/s for the process
+    # lifetime (experiments/r5_transfer_modes.md) — staging 16384 reads'
+    # 512 MB of raw codes after the index build would burn ~20 s. Host prep
+    # is excluded from steady-state timing either way; batches dispatch in
+    # groups of G per compiled program (see Params.dispatch_group).
+    L = L_HEAD
+    Gd = p.dispatch_group
+    assert (n_reads // B) % Gd == 0, "BENCH_READS must cover whole dispatch groups"
+    log("packing + staging read batches (pre-execution fast h2d)")
+    groups = []
+    for i in range(0, n_reads, B * Gd):
+        codes = np.full((Gd, B, L), 4, np.uint8)
+        lens = np.zeros((Gd, B), np.int32)
+        nm = []
+        for g in range(Gd):
+            chunk = reads[i + g * B : i + (g + 1) * B]
+            nm.append([name for name, _ in chunk])
+            for j, (name, seq) in enumerate(chunk):
+                c = encode_any(seq)[:L]
+                codes[g, j, : len(c)] = c
+                lens[g, j] = len(c)
+        groups.append((jnp.asarray(codes), jnp.asarray(lens), nm))
+    jax.block_until_ready([g[0] for g in groups])
+    log("batches staged on device; building index")
 
     # host-path build for the map benchmark (one compile, bounded cold time);
     # the device-resident builder's compile chain goes through the remote relay
@@ -215,27 +254,7 @@ def main():
     index_steady_s = time.time() - t0
     del index2
     log(f"steady host-path rebuild {index_steady_s:.2f}s "
-        f"({genome_mb / index_steady_s:.1f} MB/s); packing batches")
-
-    # pack all batches up front (host prep excluded from steady-state timing);
-    # batches dispatch in groups of G per compiled program (the per-program
-    # relay dispatch floor is ~3-6 ms — see Params.dispatch_group)
-    L = L_HEAD
-    Gd = p.dispatch_group
-    assert (n_reads // B) % Gd == 0, "BENCH_READS must cover whole dispatch groups"
-    groups = []
-    for i in range(0, n_reads, B * Gd):
-        codes = np.full((Gd, B, L), 4, np.uint8)
-        lens = np.zeros((Gd, B), np.int32)
-        nm = []
-        for g in range(Gd):
-            chunk = reads[i + g * B : i + (g + 1) * B]
-            nm.append([name for name, _ in chunk])
-            for j, (name, seq) in enumerate(chunk):
-                c = encode_any(seq)[:L]
-                codes[g, j, : len(c)] = c
-                lens[g, j] = len(c)
-        groups.append((jnp.asarray(codes), jnp.asarray(lens), nm))
+        f"({genome_mb / index_steady_s:.1f} MB/s)")
     ref_lens = jnp.asarray(meta.lengths.astype(np.int32))
 
     # warmup/compile — resolved through the AOT executable cache when

@@ -44,38 +44,81 @@ from .hashtable import BUCKET, HashIndex
 _EMPTY = np.uint32(0xFFFFFFFF)
 
 
+def _ownership(sb, cs, ce, se, n_contig, base, rid, cap):
+    """Window-ownership + contig-global numbering for one extracted batch:
+    a k-min-mer belongs to the window whose CORE contains its start (cores
+    are disjoint and cover the contig), numbered in contig order via the
+    carried `base` scalar. Shared by the per-batch-upload and the
+    segment-resident extract programs so they stay bit-identical."""
+    import jax.numpy as jnp
+
+    slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    st_abs = sb.start + cs[:, None]
+    owned = (slot < sb.n[:, None]) & (st_abs < ce[:, None])
+    ownedf = owned.reshape(-1).astype(jnp.int32)
+    offset = jnp.cumsum(ownedf) - 1 + base
+    new_base = base + jnp.sum(ownedf)
+    ovf = jnp.any(sb.overflow)
+    drop = jnp.any((se < n_contig) & (sb.tail_start < (ce - cs)))
+    of = owned.reshape(-1)
+    return (
+        jnp.where(of, sb.h1.reshape(-1), _EMPTY),
+        jnp.where(of, sb.h2.reshape(-1), _EMPTY),
+        jnp.where(of, st_abs.reshape(-1), 0),
+        jnp.where(of, (sb.end + cs[:, None]).reshape(-1), 0),
+        offset * ownedf,
+        jnp.where(of, (rid << 1) | sb.rev.reshape(-1).astype(jnp.int32), 0),
+        new_base,
+        jnp.stack([ovf, drop]),
+    )
+
+
 @functools.lru_cache(maxsize=8)
 def _make_batch_extract(p: Params, cap: int, L: int):
     """Cached: a fresh @jax.jit closure per build would recompile every
     program on every build (measured 95-154 s per WARM rebuild through the
     relay before caching)."""
     import jax
-    import jax.numpy as jnp
 
     from ..ops import seeding
 
     @jax.jit
     def run(p2, mask, lens, cs, ce, se, n_contig, base, rid):
         sb = seeding.seed_batch(seeding.unpack2(p2, mask, L, lens), lens, p, cap)
-        slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
-        st_abs = sb.start + cs[:, None]
-        owned = (slot < sb.n[:, None]) & (st_abs < ce[:, None])
-        ownedf = owned.reshape(-1).astype(jnp.int32)
-        offset = jnp.cumsum(ownedf) - 1 + base
-        new_base = base + jnp.sum(ownedf)
-        ovf = jnp.any(sb.overflow)
-        drop = jnp.any((se < n_contig) & (sb.tail_start < (ce - cs)))
-        of = owned.reshape(-1)
-        return (
-            jnp.where(of, sb.h1.reshape(-1), _EMPTY),
-            jnp.where(of, sb.h2.reshape(-1), _EMPTY),
-            jnp.where(of, st_abs.reshape(-1), 0),
-            jnp.where(of, (sb.end + cs[:, None]).reshape(-1), 0),
-            offset * ownedf,
-            jnp.where(of, (rid << 1) | sb.rev.reshape(-1).astype(jnp.int32), 0),
-            new_base,
-            jnp.stack([ovf, drop]),
-        )
+        return _ownership(sb, cs, ce, se, n_contig, base, rid, cap)
+
+    return run
+
+
+@functools.lru_cache(maxsize=16)
+def _make_seg_extract(p: Params, cap: int, L: int, W: int, SEG: int):
+    """Segment-resident extraction: window BYTES never cross the tunnel per
+    batch — each contig's 2-bit-packed codes upload ONCE per SEG-base segment
+    and every [W, L] window batch is GATHERED out of the device-resident
+    segment (one flat 1D take; v5e runs 1D gathers at stream speed). Replaces
+    the per-batch window upload, which re-sent every halo byte (~25-33%
+    duplicates) over a tunnel whose post-execution h2d runs ~24-35 MB/s
+    (experiments/r5_transfer_modes.md). Output is bit-identical to
+    _make_batch_extract: rows are reconstructed as codes[cs:se] padded with
+    INVALID, then flow through the same seed_batch + _ownership."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import seeding
+
+    @jax.jit
+    def run(seg_p2, seg_mask, seg_len, lens, cs_rel, cs, ce, se, n_contig,
+            base, rid):
+        codes_seg = seeding.unpack2(
+            seg_p2[None, :], seg_mask[None, :], SEG,
+            seg_len.reshape(1).astype(jnp.int32),
+        )[0]
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        idx = jnp.minimum(cs_rel[:, None] + pos, SEG - 1)
+        rows = jnp.take(codes_seg, idx.reshape(-1), axis=0).reshape(W, L)
+        rows = jnp.where(pos < lens[:, None], rows, jnp.uint8(4))
+        sb = seeding.seed_batch(rows, lens, p, cap)
+        return _ownership(sb, cs, ce, se, n_contig, base, rid, cap)
 
     return run
 
@@ -215,69 +258,49 @@ def _make_finalize(S: int):
         return slots, jnp.sum(keep.astype(jnp.int32))
 
     def run(batch_cols):
-        cols, keep = dedup(batch_cols)
-        slot_of, fail = place(cols[0], cols[1], keep)
-        slots, n_unique = mat(slot_of, *cols, keep)
+        # each stage resolves through the AOT executable cache on first use
+        # (r4 cold-start finding: the warm child burned ~150 s in compiles
+        # OUTSIDE the then-cached programs — these finalize stages and the
+        # extract program were the uncached residue)
+        from ..utils.aot import cached_program_memo
+
+        d = cached_program_memo(f"ixb_dedup_S{S}", dedup, (batch_cols,), S)
+        cols, keep = d(batch_cols)
+        pl = cached_program_memo(
+            f"ixb_place_S{S}", place, (cols[0], cols[1], keep), S
+        )
+        slot_of, fail = pl(cols[0], cols[1], keep)
+        m = cached_program_memo(
+            f"ixb_mat_S{S}", mat, (slot_of, *cols, keep), S
+        )
+        slots, n_unique = m(slot_of, *cols, keep)
         return slots, n_unique, fail
 
     return run
 
 
-def build_index_device(
-    contigs: Sequence[Tuple[str, bytes]],
-    p: Params,
-    batch_windows: int = 256,
-    verbose=None,
+def _extract_batches(
+    encoded, p: Params, cap: int, L: int, batch_windows: int,
+    use_native_pack: bool, run, _bp, profiling: bool, verbose,
 ):
-    """Device-resident hash-index build. Returns (HashIndex, RefMeta), or
-    None when a correctness flag fired (caller falls back to the host
-    builder, which has per-batch retry machinery)."""
+    """Round-3/4 per-batch-upload extraction (the segment path's A/B foil).
+
+    Window batches feed through ONE native C assembly+pack pass straight
+    from the contig's code buffer (io/native.pack2_rows) into reused upload
+    buffers; batches feed in PHASE GROUPS of _GROUP: pack all (host), upload
+    all (device idle), dispatch all (no transfers in flight), then ONE tiny
+    scalar pull as the completion barrier (~30-130 ms latency, amortized
+    over the group)."""
     import jax
     import jax.numpy as jnp
-
-    from ..ops import seeding
-
-    cap = p.ref_window_minimizers
-    encoded = []
-    names: List[str] = []
-    lengths: List[int] = []
-    L = 64
-    for name, seq in contigs:
-        codes = (seq if isinstance(seq, np.ndarray) else
-                 _native_enc.encode_any(seq))
-        names.append(name)
-        lengths.append(codes.shape[0])
-        wins = plan_windows(codes, p)
-        encoded.append((codes, wins))
-        for cs, _, se in wins:
-            need = 1 << int(np.ceil(np.log2(max(64, se - cs))))
-            L = max(L, need)
-    # share the compiled seeding program with the 32 kb FAST read bin (not
-    # max_read_len — see index/build.py)
-    L = max(L, min(p.max_read_len, 1 << 15))
-    meta = RefMeta(names=names, lengths=np.asarray(lengths, dtype=np.int64))
-    if L > (1 << 20):
-        return None
+    from time import perf_counter as _pc
 
     from ..io import native as _native
+    from ..ops import seeding
 
-    use_native_pack = _native.available()
-    run = _make_batch_extract(p, cap, L)
     batches = []
     flag_acc = jnp.zeros(2, bool)
     total_windows = 0
-    # Window batches feed through ONE native C assembly+pack pass straight
-    # from the contig's code buffer (io/native.pack2_rows) into reused upload
-    # buffers. The prior path (fresh np.full((256, 32k)) ~140 ms of page
-    # faults + row memcpy + numpy pack2_host, per chunk) cost ~25 s of the
-    # 1 GB build's ~40 s. Fallback (no toolchain): warm reused [B, L] buffer.
-    # Transfer/compute contention discipline (probe3/probe6 + DESIGN.md): an
-    # h2d upload issued while an extraction program RUNS on the tunneled
-    # device crawls at the contended rate (~27 MB/s vs 450-725 idle), which
-    # bounded the whole device build at ~11-37 MB/s. Batches therefore feed
-    # in PHASE GROUPS of _GROUP: pack all (host), upload all (device idle),
-    # dispatch all (no transfers in flight), then ONE tiny scalar pull as the
-    # completion barrier (~30-130 ms latency, amortized over the group).
     _GROUP = 8
     _ring = [
         (np.zeros((batch_windows, L // 4), dtype=np.uint8),
@@ -292,11 +315,11 @@ def build_index_device(
 
     def flush_pending():
         """Upload every pending batch, then dispatch, then await completion."""
-        nonlocal base, flag_acc
+        nonlocal base, flag_acc, zmask
         if not pending:
             return
-        nonlocal zmask
         ups = []
+        t0 = _pc()
         for (p2_buf, mask_buf, has_n, lens, csa, cea, sea, n_contig, rid,
              new_contig) in pending:
             # N-free windows (the usual case) skip the mask upload: 1/3 of
@@ -313,6 +336,10 @@ def build_index_device(
                 n_contig, rid, new_contig,
             ))
         pending.clear()
+        if profiling:
+            jax.block_until_ready([u[0] for u in ups])
+        _bp("upload", t0)
+        t0 = _pc()
         for p2_d, mask_d, lens_d, cs_d, ce_d, se_d, n_contig, rid, nc in ups:
             if nc:
                 base = jnp.zeros((), jnp.int32)  # offsets restart per contig
@@ -322,6 +349,7 @@ def build_index_device(
             base = out[6]
             flag_acc = flag_acc | out[7]
         np.asarray(base)  # completion barrier: next group uploads to an idle device
+        _bp("extract", t0)
 
     for rid, (codes, wins) in enumerate(encoded):
         if not wins:
@@ -333,6 +361,7 @@ def build_index_device(
         total_windows += len(wins)
         n_contig = np.int32(codes.shape[0])
         for i in range(0, len(wins), batch_windows):
+            t0 = _pc()
             chunk = wins[i : i + batch_windows]
             lens = np.zeros(batch_windows, dtype=np.int32)
             csa = np.zeros(batch_windows, dtype=np.int32)
@@ -362,9 +391,211 @@ def build_index_device(
                 p2_buf, mask_buf, has_n, lens, csa, cea, sea, n_contig, rid,
                 i == 0,
             ))
+            _bp("pack", t0)
             if len(pending) >= _GROUP:
                 flush_pending()
     flush_pending()
+    return batches, flag_acc, total_windows
+
+
+def _extract_segments(
+    encoded, p: Params, cap: int, L: int, batch_windows: int,
+    use_native_pack: bool, _bp, profiling: bool, verbose,
+):
+    """Segment-resident extraction (r5 default): per contig, pack the codes
+    once and upload them in <=64 MB-base segments; every window batch is a
+    device-side gather out of the resident segment (_make_seg_extract), so
+    the only per-batch h2d traffic is four tiny int32 arrays. Segment sizes
+    snap to powers of two in [4 MB, 64 MB] bases to bound the compiled-shape
+    count; a 2-deep buffer ring per size class keeps host packing off
+    in-flight uploads. Bit-identical to _extract_batches (shared seed_batch +
+    _ownership; device-vs-host equality is test-gated)."""
+    import jax
+    import jax.numpy as jnp
+    from time import perf_counter as _pc
+
+    from ..io import native as _native
+    from ..ops import seeding
+    from ..utils.aot import cached_program_memo
+
+    MINSEG = 1 << 20   # 1 MB bases: small contigs/test genomes should not pay
+                       # a multi-MB unpack+gather per chunk (1-core CPU mesh)
+    MAXSEG = 1 << 26
+    W = batch_windows
+    batches = []
+    flag_acc = jnp.zeros(2, bool)
+    total_windows = 0
+    rings = {}   # SEG -> ([(p2, mask), (p2, mask)], next_index)
+    zmasks = {}
+
+    def seg_buffers(SEG):
+        ring = rings.get(SEG)
+        if ring is None:
+            ring = [[
+                (np.zeros(SEG // 4, np.uint8), np.zeros(SEG // 8, np.uint8))
+                for _ in range(2)
+            ], 0]
+            rings[SEG] = ring
+        bufs, i = ring
+        ring[1] = (i + 1) % len(bufs)
+        return bufs[i]
+
+    for rid, (codes, wins) in enumerate(encoded):
+        if not wins:
+            continue
+        if verbose:
+            verbose(
+                f"device-extracting contig ({codes.shape[0]} bp, "
+                f"{len(wins)} windows, segment-resident)"
+            )
+        total_windows += len(wins)
+        n_contig = np.int32(codes.shape[0])
+        base = jnp.zeros((), jnp.int32)  # offsets restart per contig
+        wi = 0
+        while wi < len(wins):
+            seg_base = wins[wi][0] & ~3
+            span = codes.shape[0] - seg_base
+            SEG = 1 << int(np.ceil(np.log2(max(span, 1))))
+            SEG = max(MINSEG, min(MAXSEG, SEG))
+            wj = wi
+            while wj < len(wins) and wins[wj][2] - seg_base <= SEG:
+                wj += 1
+            assert wj > wi, "window exceeds the maximum segment size"
+            seg_len = min(seg_base + SEG, codes.shape[0]) - seg_base
+            t0 = _pc()
+            p2_buf, mask_buf = seg_buffers(SEG)
+            lens1 = np.asarray([seg_len], np.int32)
+            if use_native_pack:
+                has_n = _native.pack2_rows(
+                    [codes[seg_base : seg_base + seg_len]], lens1, SEG,
+                    p2_buf.reshape(1, -1), mask_buf.reshape(1, -1),
+                )
+                assert has_n is not None
+            else:
+                arr = np.full((1, SEG), 4, dtype=np.uint8)
+                arr[0, :seg_len] = codes[seg_base : seg_base + seg_len]
+                p2n, maskn = seeding.pack2_host(arr, lens1)
+                p2_buf[:], mask_buf[:] = p2n[0], maskn[0]
+                has_n = int(maskn.any())
+            _bp("pack", t0)
+            t0 = _pc()
+            seg_p2_d = jnp.asarray(p2_buf)
+            if has_n:
+                seg_mask_d = jnp.asarray(mask_buf)
+            else:
+                zm = zmasks.get(SEG)
+                if zm is None:
+                    zm = jnp.zeros(SEG // 8, jnp.uint8)
+                    zmasks[SEG] = zm
+                seg_mask_d = zm
+            if profiling:
+                jax.block_until_ready((seg_p2_d, seg_mask_d))
+            _bp("upload", t0)
+            t0 = _pc()
+            fn = _make_seg_extract(p, cap, L, W, SEG)
+            for i in range(wi, wj, W):
+                chunk = wins[i : i + W]
+                lens = np.zeros(W, dtype=np.int32)
+                csr = np.zeros(W, dtype=np.int32)
+                csa = np.zeros(W, dtype=np.int32)
+                cea = np.zeros(W, dtype=np.int32)
+                sea = np.zeros(W, dtype=np.int32)
+                for bi, (cs, ce, se) in enumerate(chunk):
+                    csa[bi], cea[bi], sea[bi] = cs, ce, se
+                    csr[bi] = cs - seg_base
+                    lens[bi] = se - cs
+                args = (seg_p2_d, seg_mask_d, np.int32(seg_len),
+                        jnp.asarray(lens), jnp.asarray(csr), jnp.asarray(csa),
+                        jnp.asarray(cea), jnp.asarray(sea), n_contig, base,
+                        np.int32(rid))
+                prog = cached_program_memo(
+                    f"ixb_segx_c{cap}_L{L}_S{SEG}", fn, args,
+                    (repr(p), cap, L, W, SEG),
+                )
+                out = prog(*args)
+                batches.append(out[:6])
+                base = out[6]
+                flag_acc = flag_acc | out[7]
+            np.asarray(base)  # barrier: next segment uploads to an idle device
+            _bp("extract", t0)
+            wi = wj
+    return batches, flag_acc, total_windows
+
+
+def build_index_device(
+    contigs: Sequence[Tuple[str, bytes]],
+    p: Params,
+    batch_windows: int = 256,
+    verbose=None,
+):
+    """Device-resident hash-index build. Returns (HashIndex, RefMeta), or
+    None when a correctness flag fired (caller falls back to the host
+    builder, which has per-batch retry machinery)."""
+    import jax
+    import jax.numpy as jnp
+
+    cap = p.ref_window_minimizers
+    encoded = []
+    names: List[str] = []
+    lengths: List[int] = []
+    L = 64
+    for name, seq in contigs:
+        codes = (seq if isinstance(seq, np.ndarray) else
+                 _native_enc.encode_any(seq))
+        names.append(name)
+        lengths.append(codes.shape[0])
+        wins = plan_windows(codes, p)
+        encoded.append((codes, wins))
+        for cs, _, se in wins:
+            need = 1 << int(np.ceil(np.log2(max(64, se - cs))))
+            L = max(L, need)
+    # share the compiled seeding program with the 32 kb FAST read bin (not
+    # max_read_len — see index/build.py)
+    L = max(L, min(p.max_read_len, 1 << 15))
+    meta = RefMeta(names=names, lengths=np.asarray(lengths, dtype=np.int64))
+    if L > (1 << 20):
+        return None
+
+    from ..io import native as _native
+
+    use_native_pack = _native.available()
+    _run_jit = _make_batch_extract(p, cap, L)
+
+    def run(*args):
+        """Extract program resolved through the AOT executable cache on first
+        dispatch (args fix the shapes); memoized so steady-state rebuilds in
+        one process skip the disk deserialize."""
+        from ..utils.aot import cached_program_memo
+
+        return cached_program_memo(
+            f"ixb_extract_c{cap}_L{L}", _run_jit, args, (repr(p), cap, L)
+        )(*args)
+
+    import os as _os
+    from time import perf_counter as _pc
+
+    bprof = {} if _os.environ.get("MAPQUIK_BUILD_PROF") else None
+
+    def _bp(key, t0):
+        if bprof is not None:
+            bprof[key] = bprof.get(key, 0.0) + (_pc() - t0)
+
+    # Segment-resident extraction is the default (r5): each contig's packed
+    # codes upload ONCE per <=64 MB segment and window batches gather on
+    # device — the per-batch upload path re-sent every halo byte over a
+    # tunnel whose post-execution h2d runs ~24-35 MB/s
+    # (experiments/r5_transfer_modes.md). MAPQUIK_SEG_BUILD=0 restores the
+    # round-3/4 per-batch upload path (the A/B foil).
+    if _os.environ.get("MAPQUIK_SEG_BUILD", "1") != "0":
+        batches, flag_acc, total_windows = _extract_segments(
+            encoded, p, cap, L, batch_windows, use_native_pack, _bp,
+            bprof is not None, verbose,
+        )
+    else:
+        batches, flag_acc, total_windows = _extract_batches(
+            encoded, p, cap, L, batch_windows, use_native_pack, run, _bp,
+            bprof is not None, verbose,
+        )
 
     if not batches:
         return None
@@ -394,8 +625,10 @@ def build_index_device(
     while True:
         if verbose:
             verbose(f"dispatched {len(batches)} batches; finalizing (S={S})")
+        t0 = _pc()
         slots, n_unique_d, fail_d = _make_finalize(S)(batches)
         n_unique, fail = int(n_unique_d), int(fail_d)
+        _bp("finalize", t0)
         if fail == 0:
             break
         S *= 2
@@ -411,4 +644,12 @@ def build_index_device(
         return None
     idx = HashIndex(slots=slots)
     jax.block_until_ready(idx.slots)
+    if bprof is not None:
+        import sys as _sys
+
+        print(
+            "[build-prof] "
+            + "  ".join(f"{k} {v:.3f}s" for k, v in sorted(bprof.items())),
+            file=_sys.stderr, flush=True,
+        )
     return idx, meta

@@ -39,6 +39,44 @@ from .matching import find_matches
 from .seeding import seed_batch
 
 
+class _E2EProf:
+    """Per-phase wall-time accumulators for Mapper.map_reads, enabled via
+    MAPQUIK_E2E_PROF=1 (report printed to stderr when the read stream ends).
+    Worker-thread phases (upload/dispatch/pull) and main-thread phases
+    (encode/pack/format) are disjoint threads, so their sums can legitimately
+    exceed the wall clock; `wall` minus main-thread work is the overlap win."""
+
+    def __init__(self):
+        import collections
+
+        self.t = collections.defaultdict(float)
+        self.n = collections.defaultdict(int)
+        self.each = collections.defaultdict(list)
+        self.waves: List[int] = []
+
+    def add(self, key: str, dt: float):
+        self.t[key] += dt
+        self.n[key] += 1
+        if os.environ.get("MAPQUIK_E2E_PROF") == "2":
+            self.each[key].append(round(dt * 1e3, 1))
+
+    def report(self, wall: float, n_reads: int):
+        import sys
+
+        lines = [f"[e2e-prof] wall {wall:.3f}s  reads {n_reads}  "
+                 f"({n_reads / max(wall, 1e-9):.0f} reads/s)"]
+        for k in sorted(self.t):
+            lines.append(
+                f"[e2e-prof]   {k:<14} {self.t[k]:7.3f}s  x{self.n[k]:<5}"
+                f" ({self.t[k] / max(wall, 1e-9) * 100:4.1f}% of wall)"
+            )
+        if self.waves:
+            lines.append(f"[e2e-prof]   wave sizes     {self.waves}")
+        for k in sorted(self.each):
+            lines.append(f"[e2e-prof]   {k} ms each: {self.each[k]}")
+        print("\n".join(lines), file=sys.stderr, flush=True)
+
+
 @functools.partial(jax.jit, static_argnames=("p", "cap", "use_pallas"))
 def map_batch(
     codes: jax.Array,     # uint8 [B, L]
@@ -349,7 +387,14 @@ class Mapper:
 
         use_native_pack = _native.available()
         G = max(1, int(p.dispatch_group))
-        _DISPATCH_Q = 3  # upload/dispatch jobs in flight behind the worker
+        _DISPATCH_Q = 6  # upload/dispatch jobs in flight behind the worker:
+                         # also the wave-size bound, and each wave ends in ONE
+                         # fixed ~30-130 ms pull — 6 halves the mid-stream pull
+                         # count vs 3 for ~60 MB more ring memory per bin
+
+        from time import perf_counter as _pc
+
+        prof = _E2EProf() if os.environ.get("MAPQUIK_E2E_PROF") else None
 
         class _Bin:
             """Reads are held as ZERO-COPY code references (views into the
@@ -402,6 +447,7 @@ class Mapper:
             """Pack the current B reads into slice g of the bin's upload buffer."""
             from .seeding import pack2_host
 
+            t0 = _pc() if prof else 0.0
             g = len(bn.staged)
             lens_host = np.zeros(B, dtype=np.int32)
             lens_host[: len(bn.lens)] = bn.lens
@@ -422,6 +468,8 @@ class Mapper:
                 bn.any_n |= bool(maskn.any())
             bn.staged.append((bn.names, bn.lens, bn.rows, lens_host))
             bn.names, bn.lens, bn.rows = [], [], []
+            if prof:
+                prof.add("pack", _pc() - t0)
 
         def _stats_loci(p2_d, mask_d, lens_d, cap, L):
             if stats is None:
@@ -459,10 +507,14 @@ class Mapper:
 
         def _upload_group(buf, staged, cap, L, any_n):
             """Phase 1: host buffers -> device (h2d only, device otherwise idle)."""
+            t0 = _pc() if prof else 0.0
             p2, mask = buf
             p2_d = jnp.asarray(p2)
             mask_d = jnp.asarray(mask) if any_n else _zero_mask(mask.shape)
             lens_d = jnp.asarray(np.stack([s[3] for s in staged]))
+            if prof:
+                jax.block_until_ready((p2_d, mask_d, lens_d))
+                prof.add("upload", _pc() - t0)
             return p2_d, mask_d, lens_d
 
         def _dispatch_group(up, cap, L):
@@ -473,7 +525,11 @@ class Mapper:
                 _group_program_fn(p, cap, L, G),
                 (p2_d, mask_d, lens_d, self.index, self.ref_lens),
             )
-            return prog(p2_d, mask_d, lens_d, self.index, self.ref_lens)
+            t0 = _pc() if prof else 0.0
+            out = prog(p2_d, mask_d, lens_d, self.index, self.ref_lens)
+            if prof:
+                prof.add("dispatch", _pc() - t0)
+            return out
 
         def _items_of(flat, up, staged, cap, L):
             p2_d, mask_d, lens_d = up
@@ -489,7 +545,11 @@ class Mapper:
             up = _upload_group(buf, staged, cap, L, any_n)
             flat = _dispatch_group(up, cap, L)
             if serial_dispatch:
+                t0 = _pc() if prof else 0.0
                 flat = np.asarray(flat)  # completion barrier + the result pull
+                if prof:
+                    prof.add("pull", _pc() - t0)
+                    prof.waves.append(1)
             return _items_of(flat, up, staged, cap, L)
 
         def _run_wave(groups):
@@ -503,9 +563,13 @@ class Mapper:
             flats = [
                 _dispatch_group(u, s[2], s[3]) for u, s in zip(ups, groups)
             ]
+            t0 = _pc() if prof else 0.0
             cat = np.asarray(jnp.concatenate(flats)) if len(flats) > 1 else (
                 np.asarray(flats[0])
             )
+            if prof:
+                prof.add("pull", _pc() - t0)
+                prof.waves.append(len(groups))
             out, o = [], 0
             for u, s, f in zip(ups, groups, flats):
                 fl = cat[o : o + f.shape[0]]
@@ -515,25 +579,44 @@ class Mapper:
 
         def _run_tail(buf, staged, cap, L, any_n):
             """Leftover staged sub-batches (< G) through the single-batch
-            program (shared with small inputs; no partial-G compile)."""
+            program (shared with small inputs; no partial-G compile). All n
+            dispatches share ONE concatenated d2h pull: each pull costs
+            ~30-130 ms of fixed tunnel latency, so per-sub-batch pulls taxed
+            a mixed-bin 4096-read stream ~0.25-0.4 s at its end (r5 e2e
+            profile). Uploads stay per-sub-batch (async h2d calls pipeline;
+            host slices avoid ad-hoc device-slice compiles)."""
             p2, mask = buf
-            items = []
-            for g, (nm, ln, rows_g, lens_host) in enumerate(staged):
+            ups = []
+            t0 = _pc() if prof else 0.0
+            for g in range(len(staged)):
                 p2_d = jnp.asarray(p2[g])
                 mask_d = (
                     jnp.asarray(mask[g]) if any_n else _zero_mask(mask[g].shape)
                 )
-                lens_d = jnp.asarray(lens_host)
+                lens_d = jnp.asarray(staged[g][3])
+                ups.append((p2_d, mask_d, lens_d))
+            if prof:
+                jax.block_until_ready(ups)
+                prof.add("tail_upload", _pc() - t0)
+            flats = []
+            for p2_d, mask_d, lens_d in ups:
                 prog = self._program(
                     f"map_single_c{cap}_L{L}",
                     _single_program_fn(p, cap, L),
                     (p2_d, mask_d, lens_d, self.index, self.ref_lens),
                 )
-                flat = prog(p2_d, mask_d, lens_d, self.index, self.ref_lens)
-                if serial_dispatch:
-                    flat = np.asarray(flat)
-                loci = _stats_loci(p2_d, mask_d, lens_d, cap, L)
-                items.append((nm, ln, flat, loci, rows_g, lens_host, cap, L))
+                flats.append(prog(p2_d, mask_d, lens_d, self.index, self.ref_lens))
+            if serial_dispatch:
+                t0 = _pc() if prof else 0.0
+                cat = (np.asarray(jnp.concatenate(flats)) if len(flats) > 1
+                       else np.asarray(flats[0]))
+                if prof:
+                    prof.add("tail_pull", _pc() - t0)
+                flats = [cat[g * B : (g + 1) * B] for g in range(len(staged))]
+            items = []
+            for g, (nm, ln, rows_g, lens_host) in enumerate(staged):
+                loci = _stats_loci(*ups[g], cap, L)
+                items.append((nm, ln, flats[g], loci, rows_g, lens_host, cap, L))
             return items
 
         # --- dispatch worker: uploads + program dispatches run on ONE
@@ -553,7 +636,10 @@ class Mapper:
         def _worker():
             stop = False
             while not stop:
+                t0 = _pc() if prof else 0.0
                 job = jobs.get()
+                if prof:
+                    prof.add("worker_idle", _pc() - t0)
                 if job is None:
                     return
                 wave = [job]
@@ -612,7 +698,10 @@ class Mapper:
                 bn.staged = []
                 bn.any_n = False
                 bn.next_buf()
+                t0 = _pc() if prof else 0.0
                 jobs.put(("group", snap))
+                if prof:
+                    prof.add("backpressure", _pc() - t0)
 
         def dispatch_tail(bn: "_Bin"):
             if bn.rows or bn.names:
@@ -712,11 +801,18 @@ class Mapper:
             res = unflatten_map_result(flat_h)
             if loci is not None:
                 stats.write_batch(f_names, np.asarray(loci)[: len(f_names)])
-            return format_paf(f_names, f_lens, res, self.meta)
+            t0 = _pc() if prof else 0.0
+            out = format_paf(f_names, f_lens, res, self.meta)
+            if prof:
+                prof.add("format", _pc() - t0)
+            return out
 
         def run():
             n_truncated = 0
+            n_seen = 0
+            t_run = _pc()
             for name, seq in reads:
+                n_seen += 1
                 if isinstance(seq, np.ndarray):
                     codes = seq
                     Lr = codes.shape[0]
@@ -763,6 +859,8 @@ class Mapper:
             shutdown_worker()
             drain()
             yield from finalize_group(pending)
+            if prof:
+                prof.report(_pc() - t_run, n_seen)
 
         try:
             yield from run()

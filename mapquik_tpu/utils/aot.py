@@ -115,6 +115,33 @@ def _log(msg: str):
         print(f"[aot] {msg}", file=sys.stderr, flush=True)
 
 
+_MEMO = {}
+
+
+def cached_program_memo(
+    name: str, jit_fn: Callable, args: Sequence, statics_key=()
+) -> Callable:
+    """cached_program with an in-process memo keyed on (name, statics, arg
+    avals): repeated resolutions in one process (e.g. steady-state rebuild
+    benchmarks, retry loops) skip the ~1 s disk deserialize per call."""
+    import jax
+
+    key = (
+        name,
+        repr(statics_key),
+        tuple(
+            (jax.api_util.shaped_abstractify(l).shape,
+             str(jax.api_util.shaped_abstractify(l).dtype))
+            for l in jax.tree.leaves(tuple(args))
+        ),
+    )
+    pr = _MEMO.get(key)
+    if pr is None:
+        pr = cached_program(name, jit_fn, args, statics_key=statics_key)
+        _MEMO[key] = pr
+    return pr
+
+
 def cached_program(
     name: str, jit_fn: Callable, args: Sequence, statics_key=()
 ) -> Callable:
