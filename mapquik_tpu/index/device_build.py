@@ -90,6 +90,13 @@ def _make_batch_extract(p: Params, cap: int, L: int):
     return run
 
 
+# chunk-metadata rows per meta block: ONE [META_CHUNKS, 5, W] int32 upload
+# covers up to META_CHUNKS window batches (~24 ms of post-execution h2d
+# latency PER ARRAY otherwise — five tiny arrays per chunk cost ~1.0 s of the
+# 64 MB build's 2.2 s in the r5 build profile)
+META_CHUNKS = 16
+
+
 @functools.lru_cache(maxsize=16)
 def _make_seg_extract(p: Params, cap: int, L: int, W: int, SEG: int):
     """Segment-resident extraction: window BYTES never cross the tunnel per
@@ -98,17 +105,21 @@ def _make_seg_extract(p: Params, cap: int, L: int, W: int, SEG: int):
     segment (one flat 1D take; v5e runs 1D gathers at stream speed). Replaces
     the per-batch window upload, which re-sent every halo byte (~25-33%
     duplicates) over a tunnel whose post-execution h2d runs ~24-35 MB/s
-    (experiments/r5_transfer_modes.md). Output is bit-identical to
-    _make_batch_extract: rows are reconstructed as codes[cs:se] padded with
-    INVALID, then flow through the same seed_batch + _ownership."""
+    (experiments/r5_transfer_modes.md). Chunk metadata arrives as one
+    [META_CHUNKS, 5, W] block (rows: lens, cs_rel, cs, ce, se) indexed by the
+    scalar j, so per-chunk h2d latency is paid once per block. Output is
+    bit-identical to _make_batch_extract: rows are reconstructed as
+    codes[cs:se] padded with INVALID, then flow through the same seed_batch +
+    _ownership."""
     import jax
     import jax.numpy as jnp
 
     from ..ops import seeding
 
     @jax.jit
-    def run(seg_p2, seg_mask, seg_len, lens, cs_rel, cs, ce, se, n_contig,
-            base, rid):
+    def run(seg_p2, seg_mask, seg_len, meta, j, n_contig, base, rid):
+        m = jax.lax.dynamic_index_in_dim(meta, j, 0, keepdims=False)
+        lens, cs_rel, cs, ce, se = (m[i] for i in range(5))
         codes_seg = seeding.unpack2(
             seg_p2[None, :], seg_mask[None, :], SEG,
             seg_len.reshape(1).astype(jnp.int32),
@@ -253,9 +264,11 @@ def _make_finalize(S: int):
         return _placement(S, h1, h2, keep)
 
     @jax.jit
-    def mat(slot_of, h1, h2, st, en, off, ridrc, keep):
+    def mat(slot_of, h1, h2, st, en, off, ridrc, keep, fail):
         slots = _materialize(S, slot_of, h1, h2, st, en, off, ridrc)
-        return slots, jnp.sum(keep.astype(jnp.int32))
+        # n_unique and fail ride out TOGETHER: each scalar d2h pull costs
+        # ~30-130 ms of tunnel latency, so the caller pulls this pair once
+        return slots, jnp.stack([jnp.sum(keep.astype(jnp.int32)), fail])
 
     def run(batch_cols):
         # each stage resolves through the AOT executable cache on first use
@@ -271,10 +284,10 @@ def _make_finalize(S: int):
         )
         slot_of, fail = pl(cols[0], cols[1], keep)
         m = cached_program_memo(
-            f"ixb_mat_S{S}", mat, (slot_of, *cols, keep), S
+            f"ixb_mat_S{S}", mat, (slot_of, *cols, keep, fail), S
         )
-        slots, n_unique = m(slot_of, *cols, keep)
-        return slots, n_unique, fail
+        slots, nf = m(slot_of, *cols, keep, fail)
+        return slots, nf
 
     return run
 
@@ -425,20 +438,30 @@ def _extract_segments(
     batches = []
     flag_acc = jnp.zeros(2, bool)
     total_windows = 0
-    rings = {}   # SEG -> ([(p2, mask), (p2, mask)], next_index)
+    rings = {}   # SEG -> ([(p2, mask), ...], next_index)
     zmasks = {}
+    in_flight: set = set()  # host buffer ids with un-barriered async uploads
+    base_holder = [jnp.zeros((), jnp.int32)]
 
     def seg_buffers(SEG):
+        """3-deep ring per size class; a barrier is only taken when a buffer
+        with a possibly-in-flight upload would be overwritten (uploads run
+        ASYNC and overlap extraction — the r5 overlap A/B measured h2d during
+        compute as safe, refuting the round-3 stall theory)."""
         ring = rings.get(SEG)
         if ring is None:
             ring = [[
                 (np.zeros(SEG // 4, np.uint8), np.zeros(SEG // 8, np.uint8))
-                for _ in range(2)
+                for _ in range(3)
             ], 0]
             rings[SEG] = ring
         bufs, i = ring
         ring[1] = (i + 1) % len(bufs)
-        return bufs[i]
+        pair = bufs[i]
+        if id(pair[0]) in in_flight:
+            np.asarray(base_holder[0])  # all prior extracts (and their
+            in_flight.clear()           # input transfers) have completed
+        return pair
 
     for rid, (codes, wins) in enumerate(encoded):
         if not wins:
@@ -450,7 +473,7 @@ def _extract_segments(
             )
         total_windows += len(wins)
         n_contig = np.int32(codes.shape[0])
-        base = jnp.zeros((), jnp.int32)  # offsets restart per contig
+        base_holder[0] = jnp.zeros((), jnp.int32)  # offsets restart per contig
         wi = 0
         while wi < len(wins):
             seg_base = wins[wi][0] & ~3
@@ -458,7 +481,8 @@ def _extract_segments(
             SEG = 1 << int(np.ceil(np.log2(max(span, 1))))
             SEG = max(MINSEG, min(MAXSEG, SEG))
             wj = wi
-            while wj < len(wins) and wins[wj][2] - seg_base <= SEG:
+            while (wj < len(wins) and wins[wj][2] - seg_base <= SEG
+                   and wj - wi < META_CHUNKS * W):
                 wj += 1
             assert wj > wi, "window exceeds the maximum segment size"
             seg_len = min(seg_base + SEG, codes.shape[0]) - seg_base
@@ -477,9 +501,22 @@ def _extract_segments(
                 p2n, maskn = seeding.pack2_host(arr, lens1)
                 p2_buf[:], mask_buf[:] = p2n[0], maskn[0]
                 has_n = int(maskn.any())
+            # chunk-metadata block: rows (lens, cs_rel, cs, ce, se) x chunk
+            n_chunks = (wj - wi + W - 1) // W
+            meta = np.zeros((META_CHUNKS, 5, W), dtype=np.int32)
+            for ci in range(n_chunks):
+                for bi, (cs, ce, se) in enumerate(
+                    wins[wi + ci * W : wi + (ci + 1) * W]
+                ):
+                    meta[ci, 0, bi] = se - cs
+                    meta[ci, 1, bi] = cs - seg_base
+                    meta[ci, 2, bi] = cs
+                    meta[ci, 3, bi] = ce
+                    meta[ci, 4, bi] = se
             _bp("pack", t0)
             t0 = _pc()
             seg_p2_d = jnp.asarray(p2_buf)
+            in_flight.add(id(p2_buf))
             if has_n:
                 seg_mask_d = jnp.asarray(mask_buf)
             else:
@@ -488,35 +525,25 @@ def _extract_segments(
                     zm = jnp.zeros(SEG // 8, jnp.uint8)
                     zmasks[SEG] = zm
                 seg_mask_d = zm
+            meta_d = jnp.asarray(meta)
             if profiling:
-                jax.block_until_ready((seg_p2_d, seg_mask_d))
+                jax.block_until_ready((seg_p2_d, seg_mask_d, meta_d))
             _bp("upload", t0)
             t0 = _pc()
             fn = _make_seg_extract(p, cap, L, W, SEG)
-            for i in range(wi, wj, W):
-                chunk = wins[i : i + W]
-                lens = np.zeros(W, dtype=np.int32)
-                csr = np.zeros(W, dtype=np.int32)
-                csa = np.zeros(W, dtype=np.int32)
-                cea = np.zeros(W, dtype=np.int32)
-                sea = np.zeros(W, dtype=np.int32)
-                for bi, (cs, ce, se) in enumerate(chunk):
-                    csa[bi], cea[bi], sea[bi] = cs, ce, se
-                    csr[bi] = cs - seg_base
-                    lens[bi] = se - cs
-                args = (seg_p2_d, seg_mask_d, np.int32(seg_len),
-                        jnp.asarray(lens), jnp.asarray(csr), jnp.asarray(csa),
-                        jnp.asarray(cea), jnp.asarray(sea), n_contig, base,
-                        np.int32(rid))
+            for ci in range(n_chunks):
+                args = (seg_p2_d, seg_mask_d, np.int32(seg_len), meta_d,
+                        np.int32(ci), n_contig, base_holder[0], np.int32(rid))
                 prog = cached_program_memo(
                     f"ixb_segx_c{cap}_L{L}_S{SEG}", fn, args,
-                    (repr(p), cap, L, W, SEG),
+                    (repr(p), cap, L, W, SEG, META_CHUNKS),
                 )
                 out = prog(*args)
                 batches.append(out[:6])
-                base = out[6]
+                base_holder[0] = out[6]
                 flag_acc = flag_acc | out[7]
-            np.asarray(base)  # barrier: next segment uploads to an idle device
+            if profiling:
+                np.asarray(base_holder[0])
             _bp("extract", t0)
             wi = wj
     return batches, flag_acc, total_windows
@@ -626,8 +653,9 @@ def build_index_device(
         if verbose:
             verbose(f"dispatched {len(batches)} batches; finalizing (S={S})")
         t0 = _pc()
-        slots, n_unique_d, fail_d = _make_finalize(S)(batches)
-        n_unique, fail = int(n_unique_d), int(fail_d)
+        slots, nf_d = _make_finalize(S)(batches)
+        nf = np.asarray(nf_d)  # ONE pull for (n_unique, fail)
+        n_unique, fail = int(nf[0]), int(nf[1])
         _bp("finalize", t0)
         if fail == 0:
             break

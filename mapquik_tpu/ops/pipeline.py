@@ -493,16 +493,17 @@ class Mapper:
                 self._zmasks[shape] = zm
             return zm
 
-        # Dispatch discipline (probe3/probe6): an h2d upload issued while a
-        # program RUNS on the tunneled device stalls catastrophically (28 ms
-        # compute + 29 ms upload -> ~330 ms wall), so "overlapped" uploads
-        # serialize the whole pipe at the slow contended rate. `serial` keeps
-        # transfers and compute mutually exclusive on the worker thread and
-        # uses the result pull itself as the completion barrier; host packing
-        # still overlaps on the main thread. MAPQUIK_DISPATCH=overlap restores
-        # the fire-and-forget behavior (useful if the tunnel ever overlaps).
+        # Dispatch discipline: OVERLAP (fire-and-forget uploads/dispatches on
+        # the worker; results pulled in DEPTH-grouped concats on the main
+        # thread) is the r5 default — the round-3 "h2d during compute stalls
+        # 10x" observation was the post-execution transfer mode, not
+        # contention (experiments/r5_transfer_modes.md), and the r5 on-chip
+        # A/B measured overlap-safe (322 -> 231 ms upload+compute; Mapper
+        # e2e 3,241 -> 4,095 reads/s). MAPQUIK_DISPATCH=serial restores the
+        # round-3/4 wave discipline (mutually exclusive transfers/compute,
+        # one pull per wave) as the measured foil.
         serial_dispatch = (
-            os.environ.get("MAPQUIK_DISPATCH", "serial") != "overlap"
+            os.environ.get("MAPQUIK_DISPATCH", "overlap") != "overlap"
         )
 
         def _upload_group(buf, staged, cap, L, any_n):
