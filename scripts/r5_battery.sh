@@ -38,6 +38,10 @@ for s in $STAGES; do
       # h2d-during-compute A/B: is the serial discipline still justified?
       run_stage overlap 1800 python scripts/r5_overlap_ab.py
       ;;
+    xcost)
+      # dissect the ~95 ms/chunk extraction cost (seed vs gather vs fixed)
+      run_stage xcost 1800 python scripts/r5_extract_cost.py
+      ;;
     express)
       # warm-cache bench at the new 16384-read workload
       run_stage express 1800 env BENCH_EXPRESS=1 python bench.py
