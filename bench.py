@@ -250,7 +250,7 @@ def main():
     log(f"index built: {index.n} k-min-mers in {index_s:.1f}s (cold); rebuilding for steady-state")
     t0 = time.time()
     index2, _ = build_index(genome, p, device=False)
-    jax.block_until_ready(index2.slots if hasattr(index2, "slots") else index2.h1)
+    jax.block_until_ready(jax.tree.leaves(index2))
     index_steady_s = time.time() - t0
     del index2
     log(f"steady host-path rebuild {index_steady_s:.2f}s "

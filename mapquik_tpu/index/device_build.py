@@ -229,20 +229,21 @@ def _materialize(S: int, slot_of, h1, h2, st, en, off, ridrc):
     import jax
     import jax.numpy as jnp
 
-    # unplaced/invalid rows scatter into a dump row that is sliced off;
-    # fused [S, BUCKET, NCOL] slot layout (index/hashtable.py: one-gather probes)
-    from .hashtable import NCOL
-
+    # unplaced/invalid rows scatter into a dump slot that is sliced off.
+    # FLAT interleaved (keys, pay) arrays (index/hashtable.py v4): 1D
+    # scatters tile without padding — the round-3 [S, BUCKET, NCOL] layout's
+    # tiny minor dims got tile-padded 16-21x by XLA, which tried to allocate
+    # 51.5 GB for the nominally 3.2 GB CHM13-scale table.
     slot = jnp.where(slot_of >= 0, slot_of, S * BUCKET)
-    slots = jnp.zeros((S * BUCKET + 1, NCOL), jnp.int32)
-    slots = slots.at[:, 0].set(-1).at[:, 1].set(-1)
-    slots = slots.at[slot, 0].set(jax.lax.bitcast_convert_type(h1, jnp.int32))
-    slots = slots.at[slot, 1].set(jax.lax.bitcast_convert_type(h2, jnp.int32))
-    slots = slots.at[slot, 2].set(ridrc)
-    slots = slots.at[slot, 3].set(st)
-    slots = slots.at[slot, 4].set(en)
-    slots = slots.at[slot, 5].set(off)
-    return slots[:-1].reshape(S, BUCKET, NCOL)
+    keys = jnp.full(S * BUCKET * 2 + 2, -1, jnp.int32)
+    keys = keys.at[slot * 2].set(jax.lax.bitcast_convert_type(h1, jnp.int32))
+    keys = keys.at[slot * 2 + 1].set(jax.lax.bitcast_convert_type(h2, jnp.int32))
+    pay = jnp.zeros(S * BUCKET * 4 + 4, jnp.int32)
+    pay = pay.at[slot * 4].set(ridrc)
+    pay = pay.at[slot * 4 + 1].set(st)
+    pay = pay.at[slot * 4 + 2].set(en)
+    pay = pay.at[slot * 4 + 3].set(off)
+    return keys[:-2], pay[:-4]
 
 
 @functools.lru_cache(maxsize=8)
@@ -265,10 +266,10 @@ def _make_finalize(S: int):
 
     @jax.jit
     def mat(slot_of, h1, h2, st, en, off, ridrc, keep, fail):
-        slots = _materialize(S, slot_of, h1, h2, st, en, off, ridrc)
+        keys, pay = _materialize(S, slot_of, h1, h2, st, en, off, ridrc)
         # n_unique and fail ride out TOGETHER: each scalar d2h pull costs
         # ~30-130 ms of tunnel latency, so the caller pulls this pair once
-        return slots, jnp.stack([jnp.sum(keep.astype(jnp.int32)), fail])
+        return keys, pay, jnp.stack([jnp.sum(keep.astype(jnp.int32)), fail])
 
     def run(batch_cols):
         # each stage resolves through the AOT executable cache on first use
@@ -286,8 +287,8 @@ def _make_finalize(S: int):
         m = cached_program_memo(
             f"ixb_mat_S{S}", mat, (slot_of, *cols, keep, fail), S
         )
-        slots, nf = m(slot_of, *cols, keep, fail)
-        return slots, nf
+        keys, pay, nf = m(slot_of, *cols, keep, fail)
+        return keys, pay, nf
 
     return run
 
@@ -653,7 +654,7 @@ def build_index_device(
         if verbose:
             verbose(f"dispatched {len(batches)} batches; finalizing (S={S})")
         t0 = _pc()
-        slots, nf_d = _make_finalize(S)(batches)
+        keys, pay, nf_d = _make_finalize(S)(batches)
         nf = np.asarray(nf_d)  # ONE pull for (n_unique, fail)
         n_unique, fail = int(nf[0]), int(nf[1])
         _bp("finalize", t0)
@@ -670,8 +671,8 @@ def build_index_device(
         if verbose:
             verbose("overflow/halo flag on device path; falling back to host build")
         return None
-    idx = HashIndex(slots=slots)
-    jax.block_until_ready(idx.slots)
+    idx = HashIndex(keys=keys, pay=pay)
+    jax.block_until_ready(idx.keys)
     if bprof is not None:
         import sys as _sys
 

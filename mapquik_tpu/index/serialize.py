@@ -17,7 +17,8 @@ from .build import RefMeta
 from .hashtable import HashIndex
 from .lookup import RefIndex
 
-_FORMAT_VERSION = 3  # v3: [S,8,6] slots (ridrc-packed); v2 was [S,8,7]
+_FORMAT_VERSION = 4  # v4: flat interleaved (keys, pay) arrays (r5 tiling fix);
+                     # v3 was fused [S,8,6] slots; v2 was [S,8,7]
 
 
 def save_index(path: str, index, meta: RefMeta, params_key: str = "") -> None:
@@ -46,7 +47,7 @@ def load_index(path: str, expect_params_key: str = "") -> Tuple[object, RefMeta]
     """Load an index saved by save_index. Raises on version/params mismatch."""
     z = np.load(path, allow_pickle=False)
     version = int(z["version"])
-    if version not in (2, _FORMAT_VERSION):
+    if version not in (2, 3, _FORMAT_VERSION):
         raise ValueError(f"index format version {version} unsupported")
     saved_key = str(z["params_key"])
     if expect_params_key and saved_key and saved_key != expect_params_key:
@@ -57,19 +58,29 @@ def load_index(path: str, expect_params_key: str = "") -> Tuple[object, RefMeta]
     meta = RefMeta(names=[str(n) for n in z["names"]], lengths=z["lengths"])
     kind = str(z["kind"])
     cls = HashIndex if kind == "hash" else RefIndex
-    cols = {name: z[f"col_{name}"] for name in cls._fields}
-    if kind == "hash" and version == 2:
-        # v2 stored (h1, h2, rid, start, end, offset, rc); fold rid/rc into
-        # the v3 ridrc column
-        s7 = cols["slots"]
-        s6 = np.concatenate(
-            [s7[..., :2], ((s7[..., 2] << 1) | s7[..., 6])[..., None], s7[..., 3:6]],
-            axis=-1,
-        )
-        # empty slots must keep ridrc 0 (v2 rid column was 0 there)
-        empty = (s7[..., 0] == -1) & (s7[..., 1] == -1)
-        s6[..., 2][empty] = 0
-        cols["slots"] = s6
+    if kind == "hash" and version < _FORMAT_VERSION:
+        if version == 2:
+            # v2 stored (h1, h2, rid, start, end, offset, rc); fold rid/rc
+            # into the v3 ridrc column first
+            s7 = z["col_slots"]
+            s6 = np.concatenate(
+                [s7[..., :2], ((s7[..., 2] << 1) | s7[..., 6])[..., None],
+                 s7[..., 3:6]],
+                axis=-1,
+            )
+            # empty slots must keep ridrc 0 (v2 rid column was 0 there)
+            empty = (s7[..., 0] == -1) & (s7[..., 1] == -1)
+            s6[..., 2][empty] = 0
+        else:
+            s6 = z["col_slots"]
+        # v3 fused [S, 8, 6] -> v4 flat interleaved (keys, pay)
+        flat = s6.reshape(-1, 6)
+        cols = {
+            "keys": np.ascontiguousarray(flat[:, :2]).reshape(-1),
+            "pay": np.ascontiguousarray(flat[:, 2:]).reshape(-1),
+        }
+    else:
+        cols = {name: z[f"col_{name}"] for name in cls._fields}
     return cls(**{k: jnp.asarray(v) for k, v in cols.items()}), meta
 
 

@@ -39,7 +39,7 @@ class ShardedHashIndex:
     """Host-side container: per-shard tables stacked with a leading shard axis."""
 
     def __init__(self, slots: jax.Array, n_shards: int, n: int):
-        self.slots = slots      # int32 [D, S, 8, NCOL] (fused keys+payload)
+        self.slots = slots      # int32 [D, S*BUCKET*NCOL] flat fused slots
         self.n_shards = n_shards
         self.n = n              # total stored keys
 
@@ -48,7 +48,9 @@ def build_sharded_index(
     h1: np.ndarray, h2: np.ndarray, rid, start, end, offset, rc, n_shards: int
 ) -> ShardedHashIndex:
     """Split deduped unique-seed columns by owner shard (h1 % D) and build one
-    two-choice table per shard, padded to a common bucket count."""
+    two-choice table per shard, padded to a common bucket count. Slots are
+    FLAT fused int32 [S*BUCKET*NCOL] per shard (hashtable.py v4 rationale:
+    tiny-minor-dim arrays get tile-padded 16-21x on TPU)."""
     owner = h1 % np.uint32(n_shards)
     tables: List[HashIndex] = []
     for s in range(n_shards):
@@ -57,29 +59,40 @@ def build_sharded_index(
             build_hash_index(h1[m], h2[m], rid[m], start[m], end[m], offset[m], rc[m])
         )
     S = max(t.n_buckets for t in tables)
-    slots = np.zeros((n_shards, S, BUCKET, NCOL), dtype=np.int32)
-    slots[..., 0] = -1
-    slots[..., 1] = -1
+    slots = np.zeros((n_shards, S * BUCKET * NCOL), dtype=np.int32)
+    slots[:, 0::NCOL] = -1
+    slots[:, 1::NCOL] = -1
     for s, t in enumerate(tables):
         tS = t.n_buckets
+        # interleave the shard's flat (keys, pay) into fused per-slot rows
+        tk = np.empty(tS * BUCKET * NCOL, dtype=np.int32)
+        keys = np.asarray(t.keys)
+        pay = np.asarray(t.pay)
+        tk[0::NCOL] = keys[0::2]
+        tk[1::NCOL] = keys[1::2]
+        for c in range(4):
+            tk[2 + c :: NCOL] = pay[c::4]
         # replicate the table so (key & (S-1)) probing still lands on the key's
         # bucket: bucket index b in the small table maps to b + j*tS copies
         reps = S // tS
-        tk = np.asarray(t.slots)
+        span = tS * BUCKET * NCOL
         for j in range(reps):
-            slots[s, j * tS : (j + 1) * tS] = tk
+            slots[s, j * span : (j + 1) * span] = tk
     n = int(sum(t.n for t in tables))
     return ShardedHashIndex(jnp.asarray(slots), n_shards, n)
 
 
 def _probe_shard(slots, qh1, qh2, shard_id, n_shards):
     """Probe one shard's table for all queries; miss for keys it doesn't own.
-    One fused row gather (keys+payload), matching index/hashtable.probe_hash."""
-    S = slots.shape[0]
+    One fused element gather (keys+payload) from the flat slot array."""
+    S = slots.shape[0] // (BUCKET * NCOL)
     mask = np.uint32(S - 1)
     b1 = (qh1 & mask).astype(jnp.int32)
     b2 = ((qh2 ^ (qh1 >> 16)) & mask).astype(jnp.int32)
-    r12 = slots[jnp.concatenate([b1, b2], axis=-1)]  # [..., 2M, 8, NCOL]
+    lane = jnp.arange(BUCKET, dtype=jnp.int32)
+    slot12 = jnp.concatenate([b1, b2], axis=-1)[..., None] * BUCKET + lane
+    idx = slot12[..., None] * NCOL + jnp.arange(NCOL, dtype=jnp.int32)
+    r12 = slots[idx]                                 # [..., 2M, 8, NCOL]
     r1, r2 = jnp.split(r12, 2, axis=-3)
     q1 = jax.lax.bitcast_convert_type(qh1, jnp.int32)[..., None]
     q2 = jax.lax.bitcast_convert_type(qh2, jnp.int32)[..., None]
@@ -105,7 +118,7 @@ def _map_batch_hash_sharded(codes, lengths, slots, ref_lens, p: Params,
     D = mesh.devices.size
 
     def per_device(codes_s, lengths_s, slots_s, ref_lens_r):
-        slots_s = slots_s[0]      # [S, 8, 7] local shard
+        slots_s = slots_s[0]      # [S*BUCKET*NCOL] local shard (flat fused)
         shard_id = jax.lax.axis_index("dp")
         sb = seed_batch(codes_s, lengths_s, p, cap)
         # all-to-all hit exchange: gather every device's queries, probe the local
@@ -149,6 +162,6 @@ def map_batch_hash_sharded(
     dp1 = NamedSharding(mesh, P("dp"))
     codes_d = jax.device_put(np.asarray(codes), dp2)
     lens_d = jax.device_put(np.asarray(lengths), dp1)
-    slots_d = jax.device_put(sidx.slots, NamedSharding(mesh, P("dp", None, None, None)))
+    slots_d = jax.device_put(sidx.slots, NamedSharding(mesh, P("dp", None)))
     ref_r = jax.device_put(jnp.asarray(ref_lens), NamedSharding(mesh, P()))
     return _map_batch_hash_sharded(codes_d, lens_d, slots_d, ref_r, p, cap, mesh)

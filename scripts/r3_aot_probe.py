@@ -67,14 +67,14 @@ def main():
             lens[g, j] = len(c)
     codes_d, lens_d = jnp.asarray(codes), jnp.asarray(lens)
 
-    def fn(c, n, slots, rl):
-        return map_batch_flat_multi(c, n, HashIndex(slots=slots), rl, p, 512, G)
+    def fn(c, n, keys, pay, rl):
+        return map_batch_flat_multi(c, n, HashIndex(keys=keys, pay=pay), rl, p, 512, G)
 
     jfn = jax.jit(fn)
 
     if not load:
         t0 = time.time()
-        lowered = jfn.lower(codes_d, lens_d, index.slots, ref_lens)
+        lowered = jfn.lower(codes_d, lens_d, index.keys, index.pay, ref_lens)
         log(f"lowered in {time.time()-t0:.1f}s")
         t0 = time.time()
         compiled = lowered.compile()
@@ -88,7 +88,7 @@ def main():
         log(f"serialized executable {os.path.getsize(PATH)/1e6:.1f} MB "
             f"in {time.time()-t0:.1f}s")
         t0 = time.time()
-        out = compiled(codes_d, lens_d, index.slots, ref_lens)
+        out = compiled(codes_d, lens_d, index.keys, index.pay, ref_lens)
         np.asarray(out[0, :2])
         log(f"compiled call ran in {time.time()-t0:.2f}s")
     else:
@@ -100,16 +100,16 @@ def main():
         compiled = se.deserialize_and_load(payload, in_tree, out_tree)
         log(f"deserialized+loaded executable in {time.time()-t0:.1f}s")
         t0 = time.time()
-        out = compiled(codes_d, lens_d, index.slots, ref_lens)
+        out = compiled(codes_d, lens_d, index.keys, index.pay, ref_lens)
         np.asarray(out[0, :2])
         log(f"first call (fresh process, NO relay compile?) in {time.time()-t0:.2f}s")
         t0 = time.time()
-        out = compiled(codes_d, lens_d, index.slots, ref_lens)
+        out = compiled(codes_d, lens_d, index.keys, index.pay, ref_lens)
         np.asarray(out[0, :2])
         log(f"second call {time.time()-t0:.2f}s")
         # compare: fresh jit in this process
         t0 = time.time()
-        r = jfn(codes_d, lens_d, index.slots, ref_lens)
+        r = jfn(codes_d, lens_d, index.keys, index.pay, ref_lens)
         np.asarray(r[0, :2])
         log(f"fresh jit compile+run for comparison: {time.time()-t0:.1f}s")
 

@@ -42,7 +42,7 @@ def main():
                            seed=12)
     log("building index (host path)")
     index, meta = build_index(genome, p, verbose=None, device=False)
-    jax.block_until_ready(index.slots)
+    jax.block_until_ready(jax.tree.leaves(index))
     ref_lens = jnp.asarray(meta.lengths.astype(np.int32))
     log(f"index ready: {index.n} keys")
 

@@ -51,7 +51,7 @@ def main():
     else:
         log("building index (host path)")
         index, meta = build_index(genome, p, device=False)
-        jax.block_until_ready(index.slots)
+        jax.block_until_ready(jax.tree.leaves(index))
         save_index(CACHE, index, meta, pk)
         log(f"index built + cached: {index.n} keys")
     ref_lens = jnp.asarray(meta.lengths.astype(np.int32))

@@ -49,7 +49,7 @@ def main():
     p = Params.auto(k=7, l=31, density=0.01)
     tb = time.time()
     index, meta = build_index(genome, p, verbose=log)
-    jax.block_until_ready(index.slots if hasattr(index, "slots") else index.h1)
+    jax.block_until_ready(jax.tree.leaves(index))
     build_s = time.time() - tb
     n_unique = index.n
     log(f"index: {n_unique} unique k-min-mers in {build_s:.1f}s "
@@ -57,7 +57,7 @@ def main():
 
     tb = time.time()
     index2, _ = build_index(genome, p)
-    jax.block_until_ready(index2.slots if hasattr(index2, "slots") else index2.h1)
+    jax.block_until_ready(jax.tree.leaves(index2))
     steady_s = time.time() - tb
     del index2
     log(f"steady rebuild {steady_s:.1f}s ({n / 1e6 / steady_s:.1f} MB/s)")
@@ -110,7 +110,7 @@ def main():
     except Exception:
         hbm_in_use = hbm_limit = 0
 
-    table_slots = int(np.prod(index.slots.shape[:2])) if hasattr(index, "slots") else 0
+    table_slots = (index.keys.shape[0] // 2) if hasattr(index, "keys") else 0
     out = {
         "genome_gb": args.genome_gb,
         "n_unique_kminmers": int(n_unique),

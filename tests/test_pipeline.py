@@ -77,7 +77,7 @@ class TestDeviceBuild:
         np.testing.assert_array_equal(dev_meta.lengths, host_meta.lengths)
         assert dev_idx.n == host_idx.n > 0
         rng = np.random.default_rng(1)
-        hk = np.asarray(host_idx.slots).reshape(-1, NCOL)[:, :2].astype(np.uint32)
+        hk = np.asarray(host_idx.keys).reshape(-1, 2).astype(np.uint32)
         real = hk[(hk[:, 0] != 0xFFFFFFFF) | (hk[:, 1] != 0xFFFFFFFF)]
         nq = 512
         take = rng.integers(0, real.shape[0], nq // 2)
