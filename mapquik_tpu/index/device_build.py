@@ -230,20 +230,27 @@ def _materialize(S: int, slot_of, h1, h2, st, en, off, ridrc):
     import jax.numpy as jnp
 
     # unplaced/invalid rows scatter into a dump slot that is sliced off.
-    # FLAT interleaved (keys, pay) arrays (index/hashtable.py v4): 1D
-    # scatters tile without padding — the round-3 [S, BUCKET, NCOL] layout's
-    # tiny minor dims got tile-padded 16-21x by XLA, which tried to allocate
-    # 51.5 GB for the nominally 3.2 GB CHM13-scale table.
+    # 128-lane-grouped (keys, pay) rows (index/hashtable.py): 1D scatters
+    # into the flattened arrays, final zero-copy-sized reshape to [rows, 128]
+    # — the round-3 [S, BUCKET, NCOL] layout's tiny minor dims got
+    # tile-padded 16-21x by XLA, which tried to allocate 51.5 GB for the
+    # nominally 3.2 GB CHM13-scale table.
+    from .hashtable import key_lane, pay_lane
+
     slot = jnp.where(slot_of >= 0, slot_of, S * BUCKET)
-    keys = jnp.full(S * BUCKET * 2 + 2, -1, jnp.int32)
-    keys = keys.at[slot * 2].set(jax.lax.bitcast_convert_type(h1, jnp.int32))
-    keys = keys.at[slot * 2 + 1].set(jax.lax.bitcast_convert_type(h2, jnp.int32))
-    pay = jnp.zeros(S * BUCKET * 4 + 4, jnp.int32)
-    pay = pay.at[slot * 4].set(ridrc)
-    pay = pay.at[slot * 4 + 1].set(st)
-    pay = pay.at[slot * 4 + 2].set(en)
-    pay = pay.at[slot * 4 + 3].set(off)
-    return keys[:-2], pay[:-4]
+    KR = (S // 8) * 128
+    PR = (S * BUCKET // 32) * 128
+    kb = key_lane(slot)
+    pb = pay_lane(slot)
+    keys = jnp.full(KR + 128, -1, jnp.int32)
+    keys = keys.at[kb].set(jax.lax.bitcast_convert_type(h1, jnp.int32))
+    keys = keys.at[kb + 1].set(jax.lax.bitcast_convert_type(h2, jnp.int32))
+    pay = jnp.zeros(PR + 128, jnp.int32)
+    pay = pay.at[pb].set(ridrc)
+    pay = pay.at[pb + 1].set(st)
+    pay = pay.at[pb + 2].set(en)
+    pay = pay.at[pb + 3].set(off)
+    return keys[:KR].reshape(-1, 128), pay[:PR].reshape(-1, 128)
 
 
 @functools.lru_cache(maxsize=8)

@@ -5,15 +5,22 @@ constant-depth probe. This is the TPU-native analog of the reference's DashMap
 keyed by the k-min-mer hash itself (identity hasher, src/index.rs:12-39,73-76):
 our keys are already avalanche-mixed, so bucket indices are just masked key bits.
 
-Layout (v4, r5): two FLAT int32 arrays — `keys` [S*BUCKET*2] with (h1, h2)
-interleaved per slot, and `pay` [S*BUCKET*4] with (ridrc, start, end, offset)
-interleaved per slot. The round-3 fused [S, BUCKET, 6] layout hit XLA's TPU
-tiling: arrays whose minor dimension is tiny get padded to the (8, 128) tile,
-inflating the table 16-21x on HBM — at CHM13 scale (S = 2^24) the materialize
-scatter tried to allocate 51.5 GB for a nominally 3.2 GB table. Flat 1D arrays
-tile with negligible padding at ANY size, and the probe still costs exactly
-TWO gather ops (key check, then payload at the matching slot) — gathers here
-are latency-bound, so op COUNT is what matters (DESIGN.md).
+Layout (v4, r5): two 128-lane-grouped int32 arrays —
+  keys [ceil(S/8), 128]: 8 buckets per row; slot s occupies lanes
+      (s & 63)*2 .. +2 with (h1, h2);
+  pay  [ceil(S*8/32), 128]: 32 slots per row; slot s occupies lanes
+      (s & 31)*4 .. +4 with (ridrc, start, end, offset).
+Two constraints force exactly this shape (both measured on v5e):
+  1. TPU tile padding: the round-3 fused [S, 8, 6] layout's tiny minor dims
+     get padded to the (8, 128) tile — 16-21x HBM inflation; the CHM13-scale
+     materialize tried to allocate 51.5 GB for a nominally 3.2 GB table.
+     A 128-int minor dimension tiles with ZERO padding at any S.
+  2. Gather cost scales with INDEX COUNT, not fetch width (DESIGN.md): a
+     per-element flat-index probe ([..., 2M, 8, 2] indices) ran the map
+     batch 6.4x slower than row gathers. Here the probe stays at TWO row
+     gathers with the ORIGINAL index counts; the bucket membership test is
+     an in-register compare over the fetched row, and the payload extraction
+     is a one-hot contraction — no second gather, no dynamic slice.
 
 Exactness: a key is found iff present (both candidate buckets are always checked);
 build fails over to a larger table until every key fits, so no seed is ever silently
@@ -41,27 +48,26 @@ NCOL = 6  # logical slot columns: h1, h2, ridrc, start, end, offset
 
 
 class HashIndex(NamedTuple):
-    """keys[i*2:(i+1)*2] = (h1, h2) and pay[i*4:(i+1)*4] = (ridrc, start, end,
-    offset) for flat slot i, as int32 (h1/h2 bit-cast; ridrc = rid << 1 | rc —
-    packing the 1-bit strand into the contig id keeps the table at 24 B/slot,
-    which matters at CHM13 scale: ~40M keys -> the table is the dominant HBM
-    resident). Empty slots carry h1 == h2 == -1."""
+    """128-lane-grouped slot arrays (module docstring); values are int32
+    (h1/h2 bit-cast; ridrc = rid << 1 | rc — packing the 1-bit strand into
+    the contig id keeps the table at 24 B/slot, which matters at CHM13
+    scale: ~40M keys -> the table is the dominant HBM resident). Empty slots
+    carry h1 == h2 == -1."""
 
-    keys: jax.Array  # int32 [S * BUCKET * 2]
-    pay: jax.Array   # int32 [S * BUCKET * 4]
+    keys: jax.Array  # int32 [S // 8, 128]   (8 buckets per row)
+    pay: jax.Array   # int32 [S * BUCKET // 32, 128]  (32 slots per row)
 
     @property
     def n_buckets(self) -> int:
-        return self.keys.shape[0] // (BUCKET * 2)
+        return self.keys.shape[0] * 8
 
     @property
     def n(self) -> int:
         """Stored key count: non-sentinel slots, counted ON DEVICE (pulling
         the full table costs seconds through this environment's ~25 MB/s d2h
         tunnel; the scalar pull is ~0.1 s)."""
-        h1 = self.keys[0::2]
-        h2 = self.keys[1::2]
-        return int(jnp.sum(~((h1 == _EMPTY_I) & (h2 == _EMPTY_I))))
+        pairs = self.keys.reshape(-1, 2)
+        return int(jnp.sum(~((pairs[:, 0] == _EMPTY_I) & (pairs[:, 1] == _EMPTY_I))))
 
 
 def _buckets(h1: np.ndarray, h2: np.ndarray, mask: int):
@@ -71,17 +77,29 @@ def _buckets(h1: np.ndarray, h2: np.ndarray, mask: int):
     return b1.astype(np.int64), b2.astype(np.int64)
 
 
+def key_lane(slot_of):
+    """Flat lane of slot i's h1 within the flattened keys array."""
+    return (slot_of >> 6) * 128 + (slot_of & 63) * 2
+
+
+def pay_lane(slot_of):
+    """Flat lane of slot i's ridrc within the flattened pay array."""
+    return (slot_of >> 5) * 128 + (slot_of & 31) * 4
+
+
 def pack_slots(S: int, slot_of, h1, h2, rid, start, end, offset, rc):
-    """Host-side flat (keys, pay) assembly from placements (slot_of int64 [n])."""
-    keys = np.full(S * BUCKET * 2, _EMPTY_I, dtype=np.int32)
-    pay = np.zeros(S * BUCKET * 4, dtype=np.int32)
-    keys[slot_of * 2] = h1.astype(np.int64).astype(np.int32)
-    keys[slot_of * 2 + 1] = h2.astype(np.int64).astype(np.int32)
-    pay[slot_of * 4] = (np.asarray(rid, np.int32) << 1) | np.asarray(rc, np.int32)
-    pay[slot_of * 4 + 1] = start
-    pay[slot_of * 4 + 2] = end
-    pay[slot_of * 4 + 3] = offset
-    return keys, pay
+    """Host-side grouped-row (keys, pay) assembly from flat placements."""
+    keys = np.full((S // 8) * 128, _EMPTY_I, dtype=np.int32)
+    pay = np.zeros((S * BUCKET // 32) * 128, dtype=np.int32)
+    kb = key_lane(slot_of)
+    pb = pay_lane(slot_of)
+    keys[kb] = h1.astype(np.int64).astype(np.int32)
+    keys[kb + 1] = h2.astype(np.int64).astype(np.int32)
+    pay[pb] = (np.asarray(rid, np.int32) << 1) | np.asarray(rc, np.int32)
+    pay[pb + 1] = start
+    pay[pb + 2] = end
+    pay[pb + 3] = offset
+    return keys.reshape(-1, 128), pay.reshape(-1, 128)
 
 
 def build_hash_index(
@@ -148,33 +166,41 @@ def _try_place(h1: np.ndarray, h2: np.ndarray, S: int):
 
 
 def probe_hash(index: HashIndex, qh1: jax.Array, qh2: jax.Array) -> ProbeResult:
-    """Constant-depth lookup: one KEY gather covering both candidate buckets
-    plus one payload gather at the matching slot. Gathers here are
-    latency-bound; fetching keys+payload fused for all 16 candidate slots
-    measured ~1.8 ms/batch slower than this split (round 2)."""
+    """Constant-depth lookup: one KEY row gather covering both candidate
+    buckets plus one payload row gather at the matching slot — the ORIGINAL
+    (round-2-measured-optimal) index counts. The fetched 128-lane rows stay
+    in registers: bucket membership is a lane-mask compare and the payload
+    quad comes out via a one-hot contraction, so no further gathers."""
     S = index.n_buckets
     mask = np.uint32(S - 1)
     b1 = (qh1 & mask).astype(jnp.int32)
     b2 = ((qh2 ^ (qh1 >> 16)) & mask).astype(jnp.int32)
-    lane = jnp.arange(BUCKET, dtype=jnp.int32)
-    slot12 = jnp.concatenate([b1, b2], axis=-1)[..., None] * BUCKET + lane
-    kidx = slot12[..., None] * 2 + jnp.arange(2, dtype=jnp.int32)
-    r12 = index.keys[kidx]                      # [..., 2M, BUCKET, 2]
-    r1, r2 = jnp.split(r12, 2, axis=-3)
-    s1, s2 = jnp.split(slot12, 2, axis=-2)
+    cat_b = jnp.concatenate([b1, b2], axis=-1)          # [..., 2M]
+    r = index.keys[cat_b >> 3]                          # [..., 2M, 128]
+    pairs = r.reshape(r.shape[:-1] + (64, 2))
+    r1, r2 = jnp.split(pairs, 2, axis=-3)               # [..., M, 64, 2]
+    lane = jnp.arange(64, dtype=jnp.int32)
+    lb = lane >> 3                                      # bucket-in-row per lane
     q1 = jax.lax.bitcast_convert_type(qh1, jnp.int32)[..., None]
     q2 = jax.lax.bitcast_convert_type(qh2, jnp.int32)[..., None]
-    m1 = (r1[..., 0] == q1) & (r1[..., 1] == q2)
-    m2 = (r2[..., 0] == q1) & (r2[..., 1] == q2)
+    m1 = (r1[..., 0] == q1) & (r1[..., 1] == q2) & (lb == (b1 & 7)[..., None])
+    m2 = (r2[..., 0] == q1) & (r2[..., 1] == q2) & (lb == (b2 & 7)[..., None])
     hit = jnp.any(m1, axis=-1) | jnp.any(m2, axis=-1)
+    s1 = (b1 >> 3)[..., None] * 64 + lane               # flat slot ids per lane
+    s2 = (b2 >> 3)[..., None] * 64 + lane
     slot = jnp.max(
         jnp.concatenate(
             [jnp.where(m1, s1, -1), jnp.where(m2, s2, -1)], axis=-1
         ),
         axis=-1,
     )
-    pidx = jnp.maximum(slot, 0)[..., None] * 4 + jnp.arange(4, dtype=jnp.int32)
-    pay = index.pay[pidx]                       # [..., 4]
+    sp = jnp.maximum(slot, 0)
+    rp = index.pay[sp >> 5]                             # [..., M, 128]
+    oh = ((sp & 31)[..., None] == jnp.arange(32, dtype=jnp.int32))
+    pay = jnp.sum(
+        rp.reshape(rp.shape[:-1] + (32, 4)) * oh[..., None].astype(jnp.int32),
+        axis=-2,
+    )                                                   # [..., M, 4]
     return ProbeResult(
         hit=hit,
         rid=pay[..., 0] >> 1,

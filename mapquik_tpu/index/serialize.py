@@ -17,7 +17,7 @@ from .build import RefMeta
 from .hashtable import HashIndex
 from .lookup import RefIndex
 
-_FORMAT_VERSION = 4  # v4: flat interleaved (keys, pay) arrays (r5 tiling fix);
+_FORMAT_VERSION = 4  # v4: 128-lane-grouped (keys, pay) rows (r5 tiling fix);
                      # v3 was fused [S,8,6] slots; v2 was [S,8,7]
 
 
@@ -73,12 +73,21 @@ def load_index(path: str, expect_params_key: str = "") -> Tuple[object, RefMeta]
             s6[..., 2][empty] = 0
         else:
             s6 = z["col_slots"]
-        # v3 fused [S, 8, 6] -> v4 flat interleaved (keys, pay)
+        # v3 fused [S, 8, 6] -> v4 grouped rows via the host placement packer
+        from .hashtable import pack_slots
+
         flat = s6.reshape(-1, 6)
-        cols = {
-            "keys": np.ascontiguousarray(flat[:, :2]).reshape(-1),
-            "pay": np.ascontiguousarray(flat[:, 2:]).reshape(-1),
-        }
+        S = s6.shape[0]
+        slot_of = np.arange(flat.shape[0], dtype=np.int64)
+        keys, pay = pack_slots(
+            S, slot_of,
+            flat[:, 0].astype(np.uint32), flat[:, 1].astype(np.uint32),
+            flat[:, 2] >> 1, flat[:, 3], flat[:, 4], flat[:, 5],
+            flat[:, 2] & 1,
+        )
+        # restore the sentinel/empty pattern exactly: pack_slots wrote every
+        # slot, including empties (whose v3 ridrc is 0 and keys are -1)
+        cols = {"keys": keys, "pay": pay}
     else:
         cols = {name: z[f"col_{name}"] for name in cls._fields}
     return cls(**{k: jnp.asarray(v) for k, v in cols.items()}), meta

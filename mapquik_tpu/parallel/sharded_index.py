@@ -64,14 +64,18 @@ def build_sharded_index(
     slots[:, 1::NCOL] = -1
     for s, t in enumerate(tables):
         tS = t.n_buckets
-        # interleave the shard's flat (keys, pay) into fused per-slot rows
+        # interleave the shard's grouped-row (keys, pay) into fused per-slot rows
+        from ..index.hashtable import key_lane, pay_lane
+
         tk = np.empty(tS * BUCKET * NCOL, dtype=np.int32)
-        keys = np.asarray(t.keys)
-        pay = np.asarray(t.pay)
-        tk[0::NCOL] = keys[0::2]
-        tk[1::NCOL] = keys[1::2]
+        keys = np.asarray(t.keys).reshape(-1)
+        pay = np.asarray(t.pay).reshape(-1)
+        si = np.arange(tS * BUCKET, dtype=np.int64)
+        kb, pb = key_lane(si), pay_lane(si)
+        tk[0::NCOL] = keys[kb]
+        tk[1::NCOL] = keys[kb + 1]
         for c in range(4):
-            tk[2 + c :: NCOL] = pay[c::4]
+            tk[2 + c :: NCOL] = pay[pb + c]
         # replicate the table so (key & (S-1)) probing still lands on the key's
         # bucket: bucket index b in the small table maps to b + j*tS copies
         reps = S // tS
